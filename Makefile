@@ -1,0 +1,31 @@
+# lbm_tpu build / check harness (the reference Makefile's contract:
+# `make check` compares outputs against golden data, Makefile:10-17).
+
+PY ?= python
+
+FINAL_STATE_FILE ?= ./final_state.dat
+AV_VELS_FILE ?= ./av_vels.dat
+REF_FINAL_STATE_FILE ?= /root/reference/check/128x128.final_state.dat
+REF_AV_VELS_FILE ?= /root/reference/check/128x128.av_vels.dat
+
+.PHONY: all native test check bench clean
+
+all: native
+
+# Build the native C extension (fast .dat writers/parsers).
+native:
+	$(PY) setup.py build_ext --inplace
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+check:
+	$(PY) -m lbm_tpu.check --ref-av-vels-file=$(REF_AV_VELS_FILE) \
+	    --ref-final-state-file=$(REF_FINAL_STATE_FILE) \
+	    --av-vels-file=$(AV_VELS_FILE) --final-state-file=$(FINAL_STATE_FILE)
+
+bench:
+	$(PY) bench.py
+
+clean:
+	rm -rf build lbm_tpu/*.so lbm_tpu/__pycache__ tests/__pycache__

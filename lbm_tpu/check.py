@@ -1,0 +1,75 @@
+"""Golden-output checker CLI — drop-in replacement for the reference's
+``check/check.py`` (same flags, same printed diff report, same exit codes;
+check/check.py:19-151).
+
+Usage::
+
+    python -m lbm_tpu.check --ref-av-vels-file=... --ref-final-state-file=...
+        --av-vels-file=... --final-state-file=... [--tolerance 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from lbm_tpu.io import compare_golden, load_final_state
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        description="Golden-output checker for lbm_tpu results",
+        fromfile_prefix_chars="@",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("--tolerance", nargs=1, default=[1], type=float,
+                   help="Percentage tolerance to match against reference results")
+    p.add_argument("--ref-av-vels-file", nargs=1, required=True)
+    p.add_argument("--ref-final-state-file", nargs=1, required=True)
+    p.add_argument("--av-vels-file", nargs=1, required=True)
+    p.add_argument("--final-state-file", nargs=1, required=True)
+    args = p.parse_args(argv)
+
+    try:
+        res = compare_golden(
+            args.av_vels_file[0],
+            args.final_state_file[0],
+            args.ref_av_vels_file[0],
+            args.ref_final_state_file[0],
+            tolerance=args.tolerance[0],
+        )
+    except ValueError as exc:
+        print(exc)
+        return 1
+
+    av = res.av_vels
+    print("Total difference in av_vels : %.12E" % av.total)
+    print("Biggest difference (at step %d) : %.12E" % (av.max_diff_index, av.max_diff))
+    print("  %.12E vs. %.12E = %.2g%%" % (av.sim_val, av.ref_val, av.max_diff_pcnt))
+    print()
+    fs = res.final_state
+    coords = load_final_state(args.final_state_file[0])
+    jj = int(coords[fs.max_diff_index, 0])
+    ii = int(coords[fs.max_diff_index, 1])
+    print("Total difference in final_state : %.12E" % fs.total)
+    print("Biggest difference (at coord (%d,%d)) : %.12E" % (jj, ii, fs.max_diff))
+    print("  %.12E vs. %.12E = %.2g%%" % (fs.sim_val, fs.ref_val, fs.max_diff_pcnt))
+    print()
+
+    tol = args.tolerance[0]
+    import numpy as np
+
+    fs_failed = (not np.isfinite(fs.max_diff_pcnt)) or abs(fs.max_diff_pcnt) > tol
+    av_failed = (not np.isfinite(av.max_diff_pcnt)) or abs(av.max_diff_pcnt) > tol
+    if fs_failed:
+        print("final state failed check")
+    if av_failed:
+        print("av_vels failed check")
+    if fs_failed or av_failed:
+        return 1
+    print("Both tests passed!")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

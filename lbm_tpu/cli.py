@@ -1,0 +1,81 @@
+"""Command-line driver: ``python -m lbm_tpu <paramfile> <obstaclefile>``.
+
+Prints the reference's exact stdout contract (d2q9-bgk.c:219-226) —
+``==done==``, the Reynolds number, and the four elapsed-time sections —
+then writes ``final_state.dat`` and ``av_vels.dat``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from lbm_tpu import io as lio
+from lbm_tpu.obstacles import load_obstacles
+from lbm_tpu.params import load_params
+from lbm_tpu.runner import run_simulation
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lbm_tpu",
+        description="TPU-native D2Q9 BGK lattice-Boltzmann solver",
+    )
+    p.add_argument("paramfile", help=".params scene file")
+    p.add_argument("obstaclefile", help="obstacle .dat mask file")
+    p.add_argument(
+        "--kernel",
+        choices=["auto", "reference", "pallas"],
+        default="auto",
+        help="step implementation: fused Pallas TPU kernel or portable jnp",
+    )
+    p.add_argument(
+        "--devices",
+        type=int,
+        default=1,
+        help="shard the lattice rows over this many devices (1 = unsharded)",
+    )
+    p.add_argument(
+        "--final-state-file", default=lio.FINAL_STATE_FILE, help="output path"
+    )
+    p.add_argument("--av-vels-file", default=lio.AV_VELS_FILE, help="output path")
+    p.add_argument(
+        "--iters", type=int, default=None, help="override maxIters (debugging)"
+    )
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    params = load_params(args.paramfile)
+    obstacles = load_obstacles(args.obstaclefile, params.nx, params.ny)
+
+    mesh = None
+    if args.devices > 1:
+        from lbm_tpu.parallel.decomp import make_mesh
+
+        mesh = make_mesh(args.devices)
+
+    result = run_simulation(
+        params,
+        obstacles,
+        kernel=args.kernel,
+        n_iters=args.iters,
+        mesh=mesh,
+    )
+
+    t = result.timings
+    print("==done==")
+    print("Reynolds number:\t\t%.12E" % result.reynolds)
+    print("Elapsed Init time:\t\t\t%.6f (s)" % t["init"])
+    print("Elapsed Compute time:\t\t\t%.6f (s)" % t["compute"])
+    print("Elapsed Collate time:\t\t\t%.6f (s)" % t["collate"])
+    print("Elapsed Total time:\t\t\t%.6f (s)" % t["total"])
+
+    lio.write_final_state(args.final_state_file, params, result.cells, obstacles)
+    lio.write_av_vels(args.av_vels_file, result.av_vels)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

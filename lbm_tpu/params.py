@@ -1,0 +1,87 @@
+"""Scene parameter loading — the ``.params`` file contract.
+
+Mirrors the reference's 7-field parameter file format
+(``d2q9-bgk.c:522-528``): one value per line —
+
+    nx ny maxIters reynolds_dim density accel omega
+
+All floating-point parameters are float32, matching the reference's
+``float`` precision throughout (``d2q9-bgk.c:66-87``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Params:
+    """Simulation parameters (the reference's ``t_param``, d2q9-bgk.c:66-87).
+
+    Only the scene-level fields live here; decomposition-related fields
+    (rank, num_rows, ...) are a property of the device mesh and live in
+    :mod:`lbm_tpu.parallel.decomp`.
+    """
+
+    nx: int
+    ny: int
+    max_iters: int
+    reynolds_dim: int
+    density: np.float32
+    accel: np.float32
+    omega: np.float32
+
+    def __post_init__(self) -> None:
+        if self.nx <= 0 or self.ny <= 0:
+            raise ValueError(f"grid dims must be positive, got {self.nx}x{self.ny}")
+        if self.max_iters <= 0:
+            raise ValueError(f"maxIters must be positive, got {self.max_iters}")
+        # Normalise float fields to float32 no matter what was passed in.
+        object.__setattr__(self, "density", np.float32(self.density))
+        object.__setattr__(self, "accel", np.float32(self.accel))
+        object.__setattr__(self, "omega", np.float32(self.omega))
+
+    @property
+    def viscosity(self) -> np.float32:
+        """Kinematic viscosity: (1/6)(2/omega - 1) (d2q9-bgk.c:676)."""
+        one = np.float32(1.0)
+        return one / np.float32(6.0) * (np.float32(2.0) / self.omega - one)
+
+    @property
+    def accel_w1(self) -> np.float32:
+        """Axis-speed forcing weight density*accel/9 (d2q9-bgk.c:237)."""
+        return np.float32(self.density * self.accel / np.float32(9.0))
+
+    @property
+    def accel_w2(self) -> np.float32:
+        """Diagonal-speed forcing weight density*accel/36 (d2q9-bgk.c:238)."""
+        return np.float32(self.density * self.accel / np.float32(36.0))
+
+
+def load_params(path: str | Path) -> Params:
+    """Parse a 7-line ``.params`` scene file (d2q9-bgk.c:522-528)."""
+    path = Path(path)
+    fields = ("nx", "ny", "maxIters", "reynolds_dim", "density", "accel", "omega")
+    try:
+        lines = path.read_text().split()
+    except OSError as exc:
+        raise FileNotFoundError(f"could not open input parameter file: {path}") from exc
+    if len(lines) < len(fields):
+        missing = fields[len(lines)]
+        raise ValueError(f"could not read param file: {missing}")
+    vals = lines[: len(fields)]
+    try:
+        return Params(
+            nx=int(vals[0]),
+            ny=int(vals[1]),
+            max_iters=int(vals[2]),
+            reynolds_dim=int(vals[3]),
+            density=np.float32(vals[4]),
+            accel=np.float32(vals[5]),
+            omega=np.float32(vals[6]),
+        )
+    except ValueError as exc:
+        raise ValueError(f"could not parse param file {path}: {exc}") from exc

@@ -1,0 +1,78 @@
+"""Lattice constants and state initialisation.
+
+State layout is planar SoA: one ``(9, ny, nx)`` float32 array — the TPU
+analogue of the reference's nine separately-allocated speed planes
+(``t_speed``, d2q9-bgk.c:90-100). ``nx`` sits on the 128-wide lane axis
+(every shipped grid has nx a multiple of 128, the same alignment contract
+the reference exploited with ``__assume(params.nx % 16 == 0)``,
+d2q9-bgk.c:291); ``ny`` sits on sublanes; the 9 speeds are the major axis
+so each plane is a contiguous, tileable 2-D image.
+
+Speed numbering (d2q9-bgk.c:7-13)::
+
+    6 2 5
+     \\|/
+    3-0-1
+     /|\\
+    7 4 8
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from lbm_tpu.params import Params
+
+
+class D2Q9:
+    """D2Q9 lattice constants."""
+
+    Q = 9
+    # Velocity components, indexed by speed (d2q9-bgk.c:7-13).
+    CX = np.array([0, 1, 0, -1, 0, 1, -1, -1, 1], dtype=np.int32)
+    CY = np.array([0, 0, 1, 0, -1, 1, 1, -1, -1], dtype=np.int32)
+    # Quadrature weights (d2q9-bgk.c:272-274).
+    W = np.array(
+        [4.0 / 9.0] + [1.0 / 9.0] * 4 + [1.0 / 36.0] * 4, dtype=np.float32
+    )
+    # Opposite ("bounce-back mirror") speed for each speed: the obstacle
+    # branch of the fused kernel writes speed k from streamed speed OPP[k]
+    # (d2q9-bgk.c:325-333).
+    OPP = np.array([0, 3, 4, 1, 2, 7, 8, 5, 6], dtype=np.int32)
+    # Speeds with positive / negative x-component (accelerate_flow's
+    # east / west sets, d2q9-bgk.c:254-261).
+    EAST = (1, 5, 8)
+    WEST = (3, 6, 7)
+    # Equilibrium expansion constants (d2q9-bgk.c:269-271).
+    C_SQ_R = np.float32(3.0)  # 1 / c_s^2
+    TWO_C_SQ_R = np.float32(1.5)  # 1 / (2 c_s^2)
+    TWO_C_SQ_SQ_R = np.float32(4.5)  # 1 / (2 c_s^4)
+
+
+def initial_state(params: Params) -> jnp.ndarray:
+    """Uniform equilibrium-at-rest initial distributions (d2q9-bgk.c:584-604).
+
+    speed 0 = density*4/9, axis speeds = density/9, diagonals = density/36,
+    everywhere (obstacle cells included).
+    """
+    w0 = np.float32(params.density * np.float32(4.0) / np.float32(9.0))
+    w1 = np.float32(params.density / np.float32(9.0))
+    w2 = np.float32(params.density / np.float32(36.0))
+    per_speed = np.array(
+        [w0, w1, w1, w1, w1, w2, w2, w2, w2], dtype=np.float32
+    )
+    return jnp.broadcast_to(
+        jnp.asarray(per_speed)[:, None, None], (D2Q9.Q, params.ny, params.nx)
+    ).astype(jnp.float32)
+
+
+def initial_state_np(params: Params) -> np.ndarray:
+    """NumPy twin of :func:`initial_state` for host-side tooling."""
+    w0 = np.float32(params.density * np.float32(4.0) / np.float32(9.0))
+    w1 = np.float32(params.density / np.float32(9.0))
+    w2 = np.float32(params.density / np.float32(36.0))
+    per_speed = np.array([w0, w1, w1, w1, w1, w2, w2, w2, w2], dtype=np.float32)
+    return np.broadcast_to(
+        per_speed[:, None, None], (D2Q9.Q, params.ny, params.nx)
+    ).copy()

@@ -1,0 +1,52 @@
+"""Test configuration: force an 8-virtual-device CPU platform BEFORE jax
+initialises, so sharded paths are testable without TPU hardware — the
+TPU-native answer to the reference's "multi-node only testable on the real
+cluster" gap (SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import numpy as np
+import pytest
+
+REFERENCE = pathlib.Path("/root/reference")
+CHECK = REFERENCE / "check"
+
+
+def reference_available() -> bool:
+    return CHECK.is_dir()
+
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference golden data not mounted"
+)
+
+
+@pytest.fixture(scope="session")
+def params_128():
+    from lbm_tpu.params import load_params
+
+    return load_params(REFERENCE / "input_128x128.params")
+
+
+@pytest.fixture(scope="session")
+def obstacles_128(params_128):
+    from lbm_tpu.obstacles import load_obstacles
+
+    return load_obstacles(
+        REFERENCE / "obstacles_128x128.dat", params_128.nx, params_128.ny
+    )
+
+
+@pytest.fixture(scope="session")
+def golden_av_vels_128():
+    return np.loadtxt(CHECK / "128x128.av_vels.dat", usecols=[1])

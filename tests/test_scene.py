@@ -1,0 +1,106 @@
+"""Scene layer tests: .params parsing, obstacle masks, state init."""
+
+import numpy as np
+import pytest
+
+from lbm_tpu.params import Params, load_params
+from lbm_tpu.obstacles import (
+    generate_obstacles,
+    load_obstacles,
+    num_non_obstacles_r,
+    write_obstacles,
+)
+from lbm_tpu.state import D2Q9, initial_state
+
+from conftest import REFERENCE, requires_reference
+
+
+@requires_reference
+def test_load_params_128():
+    p = load_params(REFERENCE / "input_128x128.params")
+    assert (p.nx, p.ny, p.max_iters, p.reynolds_dim) == (128, 128, 40000, 10)
+    assert p.density == np.float32(0.1)
+    assert p.accel == np.float32(0.005)
+    assert p.omega == np.float32(1.85)
+    # viscosity = (1/6)(2/omega - 1)  (d2q9-bgk.c:676)
+    assert np.isclose(p.viscosity, (1 / 6) * (2 / 1.85 - 1), rtol=1e-6)
+
+
+def test_load_params_missing(tmp_path):
+    f = tmp_path / "bad.params"
+    f.write_text("128\n128\n")
+    with pytest.raises(ValueError, match="maxIters"):
+        load_params(f)
+    with pytest.raises(FileNotFoundError):
+        load_params(tmp_path / "nope.params")
+
+
+def test_params_validation():
+    with pytest.raises(ValueError):
+        Params(nx=0, ny=4, max_iters=1, reynolds_dim=1,
+               density=0.1, accel=0.005, omega=1.85)
+
+
+@requires_reference
+def test_load_obstacles_128():
+    mask = load_obstacles(REFERENCE / "obstacles_128x128.dat", 128, 128)
+    # File has 512 lines with 4 duplicate corners -> 508 unique blocked cells.
+    assert int(mask.sum()) == 508
+    assert mask[0].all() and mask[-1].all()
+    assert mask[:, 0].all() and mask[:, -1].all()
+    assert not mask[1:-1, 1:-1].any()
+    # Normaliser counts unique fluid cells (matches the golden data's
+    # original tot_cells count, d2q9-bgk.c:475).
+    assert num_non_obstacles_r(mask) == np.float32(1.0 / (128 * 128 - 508))
+
+
+def test_obstacle_validation(tmp_path):
+    f = tmp_path / "obs.dat"
+    f.write_text("5 5 2\n")
+    with pytest.raises(ValueError, match="blocked"):
+        load_obstacles(f, 8, 8)
+    f.write_text("9 5 1\n")
+    with pytest.raises(ValueError, match="x-coord"):
+        load_obstacles(f, 8, 8)
+    f.write_text("5 9 1\n")
+    with pytest.raises(ValueError, match="y-coord"):
+        load_obstacles(f, 8, 8)
+
+
+@requires_reference
+def test_generator_matches_reference_mask():
+    # obstacles_128x128.dat is the generator's boundary-walls output.
+    ref = load_obstacles(REFERENCE / "obstacles_128x128.dat", 128, 128)
+    gen = generate_obstacles(128, 128)
+    np.testing.assert_array_equal(ref, gen)
+
+
+def test_obstacle_roundtrip(tmp_path):
+    mask = generate_obstacles(16, 8, interior_walls=True)
+    write_obstacles(tmp_path / "m.dat", mask)
+    back = load_obstacles(tmp_path / "m.dat", 16, 8)
+    np.testing.assert_array_equal(mask, back)
+
+
+def test_initial_state_values():
+    p = Params(nx=8, ny=4, max_iters=1, reynolds_dim=1,
+               density=0.1, accel=0.005, omega=1.85)
+    cells = np.asarray(initial_state(p))
+    assert cells.shape == (9, 4, 8)
+    assert cells.dtype == np.float32
+    d = np.float32(0.1)
+    assert (cells[0] == d * np.float32(4.0) / np.float32(9.0)).all()
+    for k in (1, 2, 3, 4):
+        assert (cells[k] == d / np.float32(9.0)).all()
+    for k in (5, 6, 7, 8):
+        assert (cells[k] == d / np.float32(36.0)).all()
+
+
+def test_d2q9_constants():
+    # Opposite pairs are mutual and reverse the velocity.
+    for k in range(9):
+        o = int(D2Q9.OPP[k])
+        assert int(D2Q9.OPP[o]) == k
+        assert D2Q9.CX[o] == -D2Q9.CX[k]
+        assert D2Q9.CY[o] == -D2Q9.CY[k]
+    assert np.isclose(D2Q9.W.sum(), 1.0)
