@@ -52,9 +52,21 @@ def main(argv: list[str] | None = None) -> int:
 
     mesh = None
     if args.devices > 1:
-        from lbm_tpu.parallel.decomp import make_mesh
+        from lbm_tpu.parallel.decomp import largest_divisor_leq, make_mesh
 
-        mesh = make_mesh(args.devices)
+        import jax
+
+        usable = largest_divisor_leq(
+            params.ny, min(args.devices, len(jax.devices()))
+        )
+        if usable != args.devices:
+            print(
+                f"note: using {usable} devices (ny={params.ny} must divide "
+                f"evenly; {len(jax.devices())} devices visible)",
+                file=sys.stderr,
+            )
+        if usable > 1:
+            mesh = make_mesh(usable)
 
     result = run_simulation(
         params,

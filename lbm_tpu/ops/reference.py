@@ -6,8 +6,17 @@ reduction, fused in one pass exactly like the reference's ``timestep``
 (d2q9-bgk.c:268-339), preceded by ``accelerate_flow`` forcing on global row
 ny-2 (d2q9-bgk.c:235-266; unambiguous serial form go/d2q9-bgk.go:127-143).
 
+Two streaming variants share the BGK math:
+
+- :func:`collide_stream` — global lattice, periodic in both axes
+  (single-device path);
+- :func:`collide_stream_halo` — local row block with explicit one-row
+  south/north halos and periodic x (the per-shard kernel under
+  ``shard_map``, mirroring the reference's +2-halo-row local grids,
+  d2q9-bgk.c:546).
+
 Everything is float32 with the reference's operation association so f32
-trajectories track the golden data to ~1e-5 %, far inside check.py's 1 %
+trajectories track the golden data to ~1e-4 %, far inside check.py's 1 %
 tolerance.
 """
 
@@ -15,11 +24,33 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 from lbm_tpu.state import D2Q9
 
 _ONE = np.float32(1.0)
 _ZERO = np.float32(0.0)
+
+
+def _accel_delta(w1: np.float32, w2: np.float32) -> jnp.ndarray:
+    """Per-speed forcing deltas: +w1/-w1 on axis speeds 1/3, +w2 on
+    diagonals 5,8 and -w2 on 6,7 (d2q9-bgk.c:254-261)."""
+    return jnp.asarray(
+        np.array([0, w1, 0, -w1, 0, w2, -w2, -w2, w2], dtype=np.float32)
+    )
+
+
+def _accelerated_row(
+    row: jnp.ndarray, obs_row: jnp.ndarray, w1: np.float32, w2: np.float32
+) -> jnp.ndarray:
+    """Apply the guarded forcing to one (9, nx) row (d2q9-bgk.c:247-262)."""
+    ok = (
+        (~obs_row)
+        & (row[3] - w1 > _ZERO)
+        & (row[6] - w2 > _ZERO)
+        & (row[7] - w2 > _ZERO)
+    )
+    return jnp.where(ok[None, :], row + _accel_delta(w1, w2)[:, None], row)
 
 
 def accelerate_flow(
@@ -29,79 +60,67 @@ def accelerate_flow(
     w2: np.float32,
     row: int | None = None,
 ) -> jnp.ndarray:
-    """Apply the east-directed forcing to one lattice row.
-
-    Mirrors d2q9-bgk.c:235-266: on row ``ny-2`` (default), cells that are
-    not obstacles and whose west-side densities would stay positive get
-    ``w1`` added to speed 1 / subtracted from speed 3 and ``w2`` added to
-    speeds 5,8 / subtracted from speeds 6,7.
+    """Forcing on one statically-known lattice row (default ny-2).
 
     ``cells``: (9, ny, nx) f32. ``obstacles``: (ny, nx) bool.
     """
     if row is None:
         row = cells.shape[1] - 2
-    r = cells[:, row, :]  # (9, nx)
-    obs = obstacles[row, :]  # (nx,)
-    ok = (
-        (~obs)
-        & (r[3] - w1 > _ZERO)
-        & (r[6] - w2 > _ZERO)
-        & (r[7] - w2 > _ZERO)
-    )
-    delta = jnp.asarray(
-        np.array([0, w1, 0, -w1, 0, w2, -w2, -w2, w2], dtype=np.float32)
-    )
-    new_row = jnp.where(ok[None, :], r + delta[:, None], r)
+    new_row = _accelerated_row(cells[:, row, :], obstacles[row, :], w1, w2)
     return cells.at[:, row, :].set(new_row)
 
 
-def _stream_pull(cells: jnp.ndarray) -> jnp.ndarray:
-    """Pull streaming: output cell (jj, ii) for speed k gathers from
-    (jj - cy[k], ii - cx[k]) with periodic wrap (d2q9-bgk.c:288-315) —
-    i.e. each plane rolled by its lattice velocity.
-    """
-    return jnp.stack(
-        [
-            jnp.roll(cells[k], (int(D2Q9.CY[k]), int(D2Q9.CX[k])), (0, 1))
-            for k in range(D2Q9.Q)
-        ]
-    )
-
-
-def collide_stream(
+def accelerate_flow_dynamic(
     cells: jnp.ndarray,
+    obstacles: jnp.ndarray,
+    w1: np.float32,
+    w2: np.float32,
+    local_row: jnp.ndarray,
+    active: jnp.ndarray,
+) -> jnp.ndarray:
+    """Forcing at a traced row index, applied only when ``active`` — the
+    SPMD form used inside shard_map, where only the shard owning global
+    row ny-2 applies it (the reference's rank_accelerate flag,
+    d2q9-bgk.c:242-243,498). Touches a single row (O(nx) work).
+    """
+    h = cells.shape[1]
+    idx = jnp.clip(local_row, 0, h - 1)
+    row = lax.dynamic_slice(cells, (0, idx, 0), (9, 1, cells.shape[2]))[:, 0, :]
+    obs_row = lax.dynamic_slice(obstacles, (idx, 0), (1, obstacles.shape[1]))[0]
+    new_row = _accelerated_row(row, obs_row, w1, w2)
+    new_row = jnp.where(active, new_row, row)
+    return lax.dynamic_update_slice(cells, new_row[:, None, :], (0, idx, 0))
+
+
+def _bgk_update(
+    s: list[jnp.ndarray] | jnp.ndarray,
     obstacles: jnp.ndarray,
     omega: np.float32,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """One fused streaming + bounce-back + BGK collision step plus the
-    tot_u reduction (d2q9-bgk.c:268-339).
-
-    Returns ``(new_cells, tot_u)`` where ``tot_u`` is the un-normalised sum
-    of |u| over fluid cells (the caller scales by 1/num_fluid_cells, as the
-    reference does post-reduce at d2q9-bgk.c:445-446).
+    """BGK relaxation + bounce-back + tot_u on post-streaming
+    distributions ``s`` (9 planes), matching d2q9-bgk.c:315-335 term by
+    term in f32.
     """
-    s = _stream_pull(cells)
     # Density: reference sums speeds 0..8 left-to-right (d2q9-bgk.c:315).
     rho = s[0] + s[1] + s[2] + s[3] + s[4] + s[5] + s[6] + s[7] + s[8]
     u_x = (s[1] + s[5] + s[8] - (s[3] + s[6] + s[7])) / rho
     u_y = (s[2] + s[5] + s[6] - (s[4] + s[7] + s[8])) / rho
     u_sq = u_x * u_x + u_y * u_y
 
-    obs = obstacles  # (ny, nx) bool
     new_planes = []
     for k in range(D2Q9.Q):
-        cx = float(D2Q9.CX[k])
-        cy = float(D2Q9.CY[k])
+        cx = int(D2Q9.CX[k])
+        cy = int(D2Q9.CY[k])
         w = np.float32(D2Q9.W[k])
-        # Projected velocity, preserving the reference's expression shapes
-        # (e.g. speed 6 uses (-u_x + u_y), d2q9-bgk.c:331).
-        if cx == 0.0 and cy == 0.0:
+        if cx == 0 and cy == 0:
             # Speed 0: feq = w0 * rho * (1 - u_sq * 1.5)  (d2q9-bgk.c:325)
             feq = w * rho * (_ONE - u_sq * D2Q9.TWO_C_SQ_R)
         else:
-            if cx == 0.0:
+            # Projected velocity, preserving the reference's expression
+            # shapes (e.g. speed 6 uses (-u_x + u_y), d2q9-bgk.c:331).
+            if cx == 0:
                 uc = u_y if cy > 0 else -u_y
-            elif cy == 0.0:
+            elif cy == 0:
                 uc = u_x if cx > 0 else -u_x
             else:
                 ux_t = u_x if cx > 0 else -u_x
@@ -119,10 +138,61 @@ def collide_stream(
             )
         relaxed = s[k] + omega * (feq - s[k])
         bounced = s[int(D2Q9.OPP[k])]
-        new_planes.append(jnp.where(obs, bounced, relaxed))
+        new_planes.append(jnp.where(obstacles, bounced, relaxed))
 
-    tot_u = jnp.sum(jnp.where(obs, _ZERO, jnp.sqrt(u_sq)), dtype=jnp.float32)
+    tot_u = jnp.sum(
+        jnp.where(obstacles, _ZERO, jnp.sqrt(u_sq)), dtype=jnp.float32
+    )
     return jnp.stack(new_planes), tot_u
+
+
+def collide_stream(
+    cells: jnp.ndarray,
+    obstacles: jnp.ndarray,
+    omega: np.float32,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One fused streaming + bounce-back + BGK collision step plus the
+    tot_u reduction on a fully periodic global lattice (d2q9-bgk.c:268-339).
+
+    Pull streaming: output cell (jj, ii) for speed k gathers from
+    (jj - cy[k], ii - cx[k]) with periodic wrap (d2q9-bgk.c:288-315), i.e.
+    each plane rolled by its lattice velocity.
+
+    Returns ``(new_cells, tot_u)`` where ``tot_u`` is the un-normalised sum
+    of |u| over fluid cells (the caller scales by 1/num_fluid_cells, as the
+    reference does post-reduce at d2q9-bgk.c:445-446).
+    """
+    s = [
+        jnp.roll(cells[k], (int(D2Q9.CY[k]), int(D2Q9.CX[k])), (0, 1))
+        for k in range(D2Q9.Q)
+    ]
+    return _bgk_update(s, obstacles, omega)
+
+
+def collide_stream_halo(
+    interior: jnp.ndarray,
+    south: jnp.ndarray,
+    north: jnp.ndarray,
+    obstacles: jnp.ndarray,
+    omega: np.float32,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused step on a local row block with explicit y-halos.
+
+    ``interior``: (9, H, nx) local rows; ``south``/``north``: (9, 1, nx)
+    halo rows below row 0 / above row H-1 (the reference's jj=0 and
+    jj=num_rows+1 halo rows, d2q9-bgk.c:279-283); x stays periodic
+    in-block. Returns the updated interior and the local tot_u partial.
+    """
+    h = interior.shape[1]
+    ext = jnp.concatenate([south, interior, north], axis=1)  # rows 0..H+1
+    s = []
+    for k in range(D2Q9.Q):
+        cy = int(D2Q9.CY[k])
+        cx = int(D2Q9.CX[k])
+        # Output row j pulls from local row j - cy = ext row j - cy + 1.
+        window = lax.slice_in_dim(ext[k], 1 - cy, 1 - cy + h, axis=0)
+        s.append(jnp.roll(window, cx, axis=1))
+    return _bgk_update(s, obstacles, omega)
 
 
 def fused_step(

@@ -1,0 +1,72 @@
+"""Row decomposition over a 1-D device mesh.
+
+The reference balances ``ny`` rows over ranks with the first ``ny % size``
+ranks taking one extra row (allocate_rows, d2q9-bgk.c:483-503). On TPU the
+lattice is one array sharded over a mesh axis, so shards must be equal;
+we require ``ny % n_shards == 0`` (every shipped grid is a power-of-two
+height) and provide :func:`largest_divisor_leq` for callers that want the
+best usable device count instead of an error.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+
+AXIS = "y"  # the single mesh axis name, rows of the lattice
+
+
+def make_mesh(n_devices: int, devices=None) -> Mesh:
+    """A 1-D mesh over the first ``n_devices`` local devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices > len(devices):
+        raise ValueError(
+            f"requested {n_devices} devices but only {len(devices)} available"
+        )
+    return Mesh(np.array(devices[:n_devices]), (AXIS,))
+
+
+def largest_divisor_leq(ny: int, n: int) -> int:
+    """Largest d ≤ n with ny % d == 0 (graceful device-count fallback)."""
+    for d in range(min(n, ny), 0, -1):
+        if ny % d == 0:
+            return d
+    return 1
+
+
+@dataclasses.dataclass(frozen=True)
+class RowDecomposition:
+    """Static decomposition facts for an ny-row lattice over n shards —
+    the TPU analogue of the reference's per-rank geometry
+    (index_start/index_stop/num_rows, d2q9-bgk.c:493-500).
+    """
+
+    ny: int
+    n_shards: int
+
+    def __post_init__(self):
+        if self.ny % self.n_shards != 0:
+            raise ValueError(
+                f"ny={self.ny} not divisible by {self.n_shards} shards; "
+                f"use largest_divisor_leq(ny, n) to pick a usable count"
+            )
+
+    @property
+    def local_ny(self) -> int:
+        return self.ny // self.n_shards
+
+    def owner_of_row(self, row: int) -> int:
+        return row // self.local_ny
+
+    def local_index(self, row: int) -> int:
+        return row % self.local_ny
+
+    @property
+    def accel_row(self) -> int:
+        """Global index of the forced row (ny-2, d2q9-bgk.c:240)."""
+        return self.ny - 2

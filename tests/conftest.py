@@ -6,12 +6,18 @@ cluster" gap (SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: env presets axon (the TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The TPU tunnel's sitecustomize registers its backend programmatically,
+# which beats the env var — override again post-import.
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -1,0 +1,122 @@
+"""Sharded-vs-unsharded equivalence on a virtual 8-device CPU mesh — the
+TPU-native answer to "test the decomposition without a cluster"
+(SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lbm_tpu.obstacles import generate_obstacles, num_non_obstacles_r
+from lbm_tpu.ops.reference import (
+    accelerate_flow,
+    accelerate_flow_dynamic,
+    collide_stream,
+    collide_stream_halo,
+)
+from lbm_tpu.params import Params
+from lbm_tpu.parallel.decomp import RowDecomposition, largest_divisor_leq, make_mesh
+from lbm_tpu.runner import make_simulate, run_simulation
+from lbm_tpu.state import initial_state
+
+
+def small_params(**kw):
+    defaults = dict(nx=32, ny=32, max_iters=20, reynolds_dim=10,
+                    density=0.1, accel=0.005, omega=1.85)
+    defaults.update(kw)
+    return Params(**defaults)
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+
+
+def test_decomposition_facts():
+    d = RowDecomposition(ny=128, n_shards=8)
+    assert d.local_ny == 16
+    assert d.owner_of_row(126) == 7
+    assert d.local_index(126) == 14
+    assert d.accel_row == 126
+    with pytest.raises(ValueError, match="not divisible"):
+        RowDecomposition(ny=10, n_shards=4)
+    assert largest_divisor_leq(128, 6) == 4
+    assert largest_divisor_leq(100, 8) == 5
+
+
+def test_halo_kernel_matches_global():
+    """collide_stream_halo with wrapped halo rows == global collide_stream."""
+    p = small_params()
+    rng = np.random.default_rng(7)
+    cells = jnp.asarray(rng.uniform(0.01, 0.2, (9, p.ny, p.nx)).astype(np.float32))
+    obstacles = jnp.asarray(generate_obstacles(p.nx, p.ny))
+    ref_new, ref_tot = collide_stream(cells, obstacles, p.omega)
+    new, tot = collide_stream_halo(
+        cells, cells[:, -1:, :], cells[:, :1, :], obstacles, p.omega
+    )
+    np.testing.assert_array_equal(np.asarray(ref_new), np.asarray(new))
+    assert np.isclose(float(ref_tot), float(tot), rtol=1e-6)
+
+
+def test_halo_kernel_block_equivalence():
+    """Stacking two half-blocks stepped with true halo rows reproduces the
+    global step (the decomposition invariant behind the MPI design)."""
+    p = small_params()
+    rng = np.random.default_rng(8)
+    cells = jnp.asarray(rng.uniform(0.01, 0.2, (9, p.ny, p.nx)).astype(np.float32))
+    obstacles = jnp.asarray(generate_obstacles(p.nx, p.ny))
+    h = p.ny // 2
+    ref_new, _ = collide_stream(cells, obstacles, p.omega)
+    lo, _ = collide_stream_halo(
+        cells[:, :h], cells[:, -1:], cells[:, h : h + 1], obstacles[:h], p.omega
+    )
+    hi, _ = collide_stream_halo(
+        cells[:, h:], cells[:, h - 1 : h], cells[:, :1], obstacles[h:], p.omega
+    )
+    np.testing.assert_array_equal(np.asarray(ref_new[:, :h]), np.asarray(lo))
+    np.testing.assert_array_equal(np.asarray(ref_new[:, h:]), np.asarray(hi))
+
+
+def test_accelerate_dynamic_matches_static():
+    p = small_params()
+    rng = np.random.default_rng(9)
+    cells = jnp.asarray(rng.uniform(0.01, 0.2, (9, p.ny, p.nx)).astype(np.float32))
+    obstacles = jnp.asarray(generate_obstacles(p.nx, p.ny))
+    want = accelerate_flow(cells, obstacles, p.accel_w1, p.accel_w2)
+    got = accelerate_flow_dynamic(
+        cells, obstacles, p.accel_w1, p.accel_w2,
+        jnp.int32(p.ny - 2), jnp.bool_(True),
+    )
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    # Inactive: unchanged.
+    same = accelerate_flow_dynamic(
+        cells, obstacles, p.accel_w1, p.accel_w2,
+        jnp.int32(5), jnp.bool_(False),
+    )
+    np.testing.assert_array_equal(np.asarray(cells), np.asarray(same))
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_trajectory_matches_unsharded(n_dev):
+    """Full sharded simulation == unsharded, cells bit-exact, av_vels to
+    reduction-order tolerance."""
+    p = small_params(ny=64, nx=32, max_iters=30)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    res_1 = run_simulation(p, obstacles, kernel="reference")
+    mesh = make_mesh(n_dev)
+    res_n = run_simulation(p, obstacles, kernel="reference", mesh=mesh)
+    np.testing.assert_array_equal(res_1.cells, res_n.cells)
+    np.testing.assert_allclose(res_1.av_vels, res_n.av_vels, rtol=2e-5)
+    assert np.isclose(res_1.reynolds, res_n.reynolds, rtol=1e-5)
+
+
+def test_sharded_accel_row_on_shard_boundary():
+    """ny-2 is the bottom row of the top shard for ny=64/8-dev (local idx
+    6 of 8)… exercise a config where the accelerated row is the shard's
+    TOP edge so the neighbour's halo must carry the accelerated values:
+    ny=16 over 8 devices -> local_ny=2, row 14 = top shard's row 0."""
+    p = small_params(ny=16, nx=32, max_iters=25)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    res_1 = run_simulation(p, obstacles, kernel="reference")
+    res_8 = run_simulation(p, obstacles, kernel="reference", mesh=make_mesh(8))
+    np.testing.assert_array_equal(res_1.cells, res_8.cells)
+    np.testing.assert_allclose(res_1.av_vels, res_8.av_vels, rtol=2e-5)
