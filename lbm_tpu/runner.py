@@ -36,9 +36,15 @@ def _select_step(kernel: str, params: Params):
     """Resolve a step function ``(cells, obstacles) -> (cells, tot_u)``."""
     w1, w2, omega = params.accel_w1, params.accel_w2, params.omega
     if kernel == "auto":
-        kernel = (
-            "pallas" if jax.default_backend() == "tpu" else "reference"
-        )
+        if jax.default_backend() == "tpu":
+            try:
+                from lbm_tpu.ops import pallas_fused  # noqa: F401
+
+                kernel = "pallas"
+            except ImportError:
+                kernel = "reference"
+        else:
+            kernel = "reference"
     if kernel == "reference":
         return lambda cells, obs: ref_ops.fused_step(cells, obs, w1, w2, omega)
     if kernel == "pallas":
