@@ -1,0 +1,93 @@
+"""Pallas fused kernel vs the portable jnp reference (interpret mode on
+CPU; compiled on real TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lbm_tpu.obstacles import generate_obstacles
+from lbm_tpu.ops.pallas_fused import (
+    _pick_block_rows,
+    collide_stream_pallas,
+    make_fused_step,
+)
+from lbm_tpu.ops.reference import collide_stream, collide_stream_halo, fused_step
+from lbm_tpu.params import Params
+
+
+def small_params(**kw):
+    defaults = dict(nx=128, ny=32, max_iters=5, reynolds_dim=10,
+                    density=0.1, accel=0.005, omega=1.85)
+    defaults.update(kw)
+    return Params(**defaults)
+
+
+def rand_state(p, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(0.01, 0.2, (9, p.ny, p.nx)).astype(np.float32))
+
+
+def test_pick_block_rows():
+    assert _pick_block_rows(1024, 1024) in (16, 32, 64)
+    assert 1024 % _pick_block_rows(1024, 1024) == 0
+    assert _pick_block_rows(32, 128) == 32  # whole grid fits one window
+    assert _pick_block_rows(8, 16384) >= 1
+
+
+def test_pallas_matches_reference_periodic():
+    p = small_params()
+    cells = rand_state(p)
+    obstacles = jnp.asarray(generate_obstacles(p.nx, p.ny))
+    want, want_tot = collide_stream(cells, obstacles, p.omega)
+    got, got_tot = collide_stream_pallas(
+        cells, cells[:, -1:, :], cells[:, :1, :], obstacles, p.omega
+    )
+    # 1-ulp differences are expected between the two compilation paths
+    # (FMA/fusion choices differ); anything beyond that is a real bug.
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), rtol=2e-5, atol=5e-8)
+    assert np.isclose(float(want_tot), float(got_tot), rtol=1e-5)
+
+
+def test_pallas_matches_reference_multiblock():
+    """Grid spanning several row blocks exercises the DMA window edges."""
+    p = small_params(ny=128, nx=256)
+    cells = rand_state(p, seed=2)
+    obstacles = jnp.asarray(generate_obstacles(p.nx, p.ny))
+    south, north = cells[:, -1:, :], cells[:, :1, :]
+    want, want_tot = collide_stream_halo(cells, south, north, obstacles, p.omega)
+    got, got_tot = collide_stream_pallas(cells, south, north, obstacles, p.omega)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), rtol=2e-5, atol=5e-8)
+    assert np.isclose(float(want_tot), float(got_tot), rtol=1e-5)
+
+
+def test_pallas_nonwrapped_halos():
+    """Arbitrary (non-periodic) halo rows — the sharded-path contract."""
+    p = small_params(ny=64, nx=128)
+    cells = rand_state(p, seed=3)
+    rng = np.random.default_rng(4)
+    south = jnp.asarray(rng.uniform(0.01, 0.2, (9, 1, p.nx)).astype(np.float32))
+    north = jnp.asarray(rng.uniform(0.01, 0.2, (9, 1, p.nx)).astype(np.float32))
+    obstacles = jnp.asarray(generate_obstacles(p.nx, p.ny))
+    want, _ = collide_stream_halo(cells, south, north, obstacles, p.omega)
+    got, _ = collide_stream_pallas(cells, south, north, obstacles, p.omega)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), rtol=2e-5, atol=5e-8)
+
+
+def test_fused_step_pallas_trajectory():
+    """A few full steps (accelerate + kernel) match the jnp fused_step."""
+    p = small_params(ny=32, nx=128)
+    obstacles = jnp.asarray(generate_obstacles(p.nx, p.ny))
+    step = make_fused_step(p)
+    from lbm_tpu.state import initial_state
+
+    c_ref = initial_state(p)
+    c_pal = initial_state(p)
+    for _ in range(3):
+        c_ref, t_ref = fused_step(
+            c_ref, obstacles, p.accel_w1, p.accel_w2, p.omega
+        )
+        c_pal, t_pal = step(c_pal, obstacles)
+        np.testing.assert_allclose(
+            np.asarray(c_ref), np.asarray(c_pal), rtol=2e-5, atol=5e-8
+        )
+        assert np.isclose(float(t_ref), float(t_pal), rtol=1e-4)
