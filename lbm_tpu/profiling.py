@@ -1,0 +1,100 @@
+"""Profiling and roofline reporting.
+
+The reference's observability was gettimeofday phase timers
+(d2q9-bgk.c:174-226), gprof flat profiles (profiling/), and Intel Advisor
+rooflines (roofline/). The TPU equivalents here:
+
+- :class:`PhaseTimers` — the same 4-phase init/compute/collate/total
+  breakdown;
+- :func:`trace` — a jax.profiler trace context manager (view in
+  TensorBoard / xprof);
+- :func:`roofline_report` — GLUPS, effective HBM bandwidth and FLOP/s
+  for a measured run against the chip's peaks (the Advisor-roofline
+  analogue; arithmetic intensity of the fused step is ~0.53 FLOP/B like
+  the reference's MPI kernel, report_mpi/report.tex:158).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+
+import jax
+
+# Per-cell cost model of the fused step (d2q9-bgk.c:284-335): 9 reads +
+# 9 writes of f32 distributions + the obstacle mask byte(s), ~130 flops
+# (incl. divides/sqrt expansions), 1 sqrt.
+BYTES_PER_CELL_F32_MASK = (9 + 9) * 4 + 4
+FLOPS_PER_CELL = 130
+
+# Peak specs per chip generation (HBM GB/s, f32 TFLOP/s on the VPU path).
+CHIP_PEAKS = {
+    "v5e": {"hbm_gbps": 819, "tflops_f32": 98.5},
+    "v5p": {"hbm_gbps": 2765, "tflops_f32": 229.5},
+    "v4": {"hbm_gbps": 1228, "tflops_f32": 137.5},
+}
+
+
+@dataclasses.dataclass
+class PhaseTimers:
+    """init/compute/collate wall-clock phases (d2q9-bgk.c:174-226)."""
+
+    _marks: dict = dataclasses.field(default_factory=dict)
+    elapsed: dict = dataclasses.field(default_factory=dict)
+
+    def start(self, phase: str) -> None:
+        self._marks[phase] = time.perf_counter()
+
+    def stop(self, phase: str) -> None:
+        self.elapsed[phase] = time.perf_counter() - self._marks.pop(phase)
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        self.start(name)
+        try:
+            yield
+        finally:
+            self.stop(name)
+
+    def report(self) -> str:
+        lines = []
+        for name in ("init", "compute", "collate", "total"):
+            if name in self.elapsed:
+                lines.append(
+                    "Elapsed %s time:\t\t\t%.6f (s)" % (name.capitalize(), self.elapsed[name])
+                )
+        return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """jax.profiler trace around a region (TensorBoard-viewable)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def roofline_report(
+    nx: int, ny: int, iters: int, seconds: float, chip: str = "v5e"
+) -> dict:
+    """Throughput vs the chip's bandwidth/compute roofs."""
+    cells = nx * ny * iters
+    glups = cells / seconds / 1e9
+    gbps = cells * BYTES_PER_CELL_F32_MASK / seconds / 1e9
+    gflops = cells * FLOPS_PER_CELL / seconds / 1e9
+    peaks = CHIP_PEAKS.get(chip, CHIP_PEAKS["v5e"])
+    return {
+        "glups": glups,
+        "effective_gbps": gbps,
+        "effective_gflops": gflops,
+        "hbm_utilisation": gbps / peaks["hbm_gbps"],
+        "flops_utilisation": gflops / (peaks["tflops_f32"] * 1e3),
+        "arithmetic_intensity": FLOPS_PER_CELL / BYTES_PER_CELL_F32_MASK,
+        "bound": "memory"
+        if FLOPS_PER_CELL / BYTES_PER_CELL_F32_MASK
+        < peaks["tflops_f32"] * 1e3 / peaks["hbm_gbps"]
+        else "compute",
+    }

@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# Clean-environment build + smoke check — the reference's
+# check_submission.sh analogue: rebuild the native extension from scratch,
+# verify the package imports, run a short end-to-end simulation, and
+# validate its trajectory prefix against the golden data when available.
+set -euo pipefail
+
+cd "$(dirname "$0")/.."
+echo "== rebuild native extension =="
+rm -f lbm_tpu/_native*.so
+python setup.py build_ext --inplace >/dev/null
+test -f lbm_tpu/_native*.so && echo "native extension built"
+
+echo "== package import =="
+python -c "import lbm_tpu; print('lbm_tpu', lbm_tpu.__version__)"
+
+echo "== smoke run (128x128, 100 iters, CPU) =="
+TMP=$(mktemp -d)
+trap 'rm -rf "$TMP"' EXIT
+JAX_PLATFORMS=cpu python -m lbm_tpu \
+    /root/reference/input_128x128.params \
+    /root/reference/obstacles_128x128.dat \
+    --kernel reference --iters 100 \
+    --av-vels-file "$TMP/av_vels.dat" --final-state-file "$TMP/fs.dat" \
+    | grep -E "==done==|Reynolds"
+
+if [ -f /root/reference/check/128x128.av_vels.dat ]; then
+    python - "$TMP/av_vels.dat" <<'EOF'
+import sys
+import numpy as np
+sim = np.loadtxt(sys.argv[1], usecols=[1])
+ref = np.loadtxt("/root/reference/check/128x128.av_vels.dat", usecols=[1])[: len(sim)]
+pct = 100 * np.abs((ref - sim) / ref).max()
+print(f"golden prefix max diff: {pct:.2e}%")
+assert pct < 0.01, "trajectory prefix diverged from golden data"
+EOF
+fi
+echo "check_install OK"

@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Benchmark sweep — the TPU analogue of the reference's Slurm rank/thread
+sweeps (js_procs/js_1..112, js_threads/js_1..28): runs the standard grids
+across kernel and device-count configurations and records JSON results.
+
+Usage:
+    python scripts/sweep.py [--grids 128x128 1024x1024 ...]
+        [--kernels reference pallas] [--devices 1 2 4 8]
+        [--iters N] [--repeats R] [-o sweep_results.json]
+"""
+
+import argparse
+import itertools
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+
+GRID_SCENES = {
+    # nx, ny, iters, accel — from the shipped input_*.params files.
+    "128x128": (128, 128, 40000, 0.005),
+    "128x256": (128, 256, 40000, 0.005),
+    "256x256": (256, 256, 80000, 0.005),
+    "1024x1024": (1024, 1024, 20000, 0.01),
+    "2048x1024": (2048, 1024, 20000, 0.01),
+    "4096x1024": (4096, 1024, 20000, 0.01),
+    "8192x1024": (8192, 1024, 20000, 0.01),
+    "16384x1024": (16384, 1024, 20000, 0.01),
+}
+
+
+def run_config(grid, kernel, n_devices, iters, repeats):
+    import jax
+    import jax.numpy as jnp
+    from lbm_tpu.params import Params
+    from lbm_tpu.obstacles import generate_obstacles, num_non_obstacles_r
+    from lbm_tpu.state import initial_state
+
+    nx, ny, default_iters, accel = GRID_SCENES[grid]
+    iters = iters or min(default_iters, 2000)
+    params = Params(nx=nx, ny=ny, max_iters=iters, reynolds_dim=10,
+                    density=np.float32(0.1), accel=np.float32(accel),
+                    omega=np.float32(1.85))
+    obstacles = generate_obstacles(nx, ny)
+    inv = num_non_obstacles_r(obstacles)
+    obs_dev = jnp.asarray(obstacles)
+    cells0 = initial_state(params)
+
+    if n_devices > 1:
+        from lbm_tpu.parallel.decomp import make_mesh
+        from lbm_tpu.parallel.halo import make_sharded_simulate, shard_inputs
+
+        mesh = make_mesh(n_devices)
+        simulate = make_sharded_simulate(params, mesh, kernel=kernel)
+        cells0, obs_dev = shard_inputs(mesh, cells0, obs_dev)
+    else:
+        from lbm_tpu.runner import make_simulate
+
+        simulate = make_simulate(params, kernel=kernel)
+
+    compiled = simulate.lower(cells0, obs_dev, inv).compile()
+    c, a = compiled(cells0, obs_dev, inv)
+    np.asarray(a)  # untimed first execution (program-load overhead)
+
+    best = float("inf")
+    for _ in range(repeats):
+        cells0 = initial_state(params)
+        if n_devices > 1:
+            from lbm_tpu.parallel.halo import shard_inputs as si
+
+            cells0, _ = si(mesh, cells0, obs_dev)
+        jax.block_until_ready(cells0)
+        t0 = time.perf_counter()
+        c, a = compiled(cells0, obs_dev, inv)
+        np.asarray(a)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "grid": grid, "kernel": kernel, "devices": n_devices,
+        "iters": iters, "seconds": best,
+        "glups": nx * ny * iters / best / 1e9,
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--grids", nargs="+", default=["128x128", "256x256", "1024x1024"])
+    p.add_argument("--kernels", nargs="+", default=["auto"])
+    p.add_argument("--devices", nargs="+", type=int, default=[1])
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("-o", "--output", default="sweep_results.json")
+    args = p.parse_args(argv)
+
+    results = []
+    for grid, kernel, nd in itertools.product(args.grids, args.kernels, args.devices):
+        try:
+            r = run_config(grid, kernel, nd, args.iters, args.repeats)
+        except Exception as exc:  # record failures, keep sweeping
+            r = {"grid": grid, "kernel": kernel, "devices": nd,
+                 "error": f"{type(exc).__name__}: {exc}"}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    Path(args.output).write_text(json.dumps(results, indent=2) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

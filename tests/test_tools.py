@@ -1,0 +1,84 @@
+"""Tests for profiling utilities and the analysis/generator scripts."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from lbm_tpu.profiling import PhaseTimers, roofline_report
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_phase_timers_report():
+    t = PhaseTimers()
+    with t.phase("total"):
+        with t.phase("init"):
+            pass
+        with t.phase("compute"):
+            pass
+    rep = t.report()
+    assert "Elapsed Init time:" in rep
+    assert "Elapsed Compute time:" in rep
+    assert "Elapsed Total time:" in rep
+    assert t.elapsed["total"] >= t.elapsed["init"]
+
+
+def test_roofline_report_memory_bound():
+    # 1024^2 x 2000 iters in 0.4 s ~ 5.2 GLUPS on a v5e.
+    r = roofline_report(1024, 1024, 2000, 0.4, chip="v5e")
+    assert r["bound"] == "memory"
+    assert 5.0 < r["glups"] < 5.5
+    assert 0 < r["hbm_utilisation"] < 1
+    assert np.isclose(r["arithmetic_intensity"], 130 / 76, rtol=1e-6)
+
+
+def test_generate_obstacles_script(tmp_path):
+    out = tmp_path / "obs.dat"
+    res = subprocess.run(
+        [sys.executable, str(REPO / "scripts/generate_obstacles.py"),
+         "16", "8", "-o", str(out)],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    lines = out.read_text().splitlines()
+    # 2*W + 2*H lines, duplicates at corners included (reference format).
+    assert len(lines) == 2 * 16 + 2 * 8
+    assert lines[0] == "0 0 1"
+
+
+def test_scaling_script(tmp_path):
+    data = [
+        {"grid": "128x128", "kernel": "auto", "devices": 1, "seconds": 2.0,
+         "iters": 100, "glups": 1.0},
+        {"grid": "128x128", "kernel": "auto", "devices": 4, "seconds": 0.5,
+         "iters": 100, "glups": 4.0},
+        {"grid": "256x256", "kernel": "auto", "devices": 2, "error": "X"},
+    ]
+    f = tmp_path / "sweep.json"
+    f.write_text(json.dumps(data))
+    res = subprocess.run(
+        [sys.executable, str(REPO / "scripts/scaling.py"), str(f)],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "(4, 4.000)" in res.stdout
+
+
+def test_plot_script(tmp_path):
+    fs = tmp_path / "final_state.dat"
+    lines = []
+    for jj in range(4):
+        for ii in range(4):
+            lines.append(f"{ii} {jj} 0.0E+00 0.0E+00 {0.1*ii:.6E} 3.3E-02 0")
+    fs.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "fs.png"
+    res = subprocess.run(
+        [sys.executable, str(REPO / "scripts/plot_final_state.py"),
+         str(fs), "-o", str(out)],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    assert out.stat().st_size > 0
