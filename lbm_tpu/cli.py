@@ -42,12 +42,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--iters", type=int, default=None, help="override maxIters (debugging)"
     )
+    p.add_argument(
+        "--precision",
+        choices=["float32", "float64"],
+        default="float32",
+        help="working precision: float32 matches the reference artifact; "
+             "float64 reproduces the golden data's original code (CPU)",
+    )
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    params = load_params(args.paramfile)
+    import numpy as np
+
+    dtype = np.float64 if args.precision == "float64" else np.float32
+    if dtype is np.float64:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    params = load_params(args.paramfile, dtype=dtype)
     obstacles = load_obstacles(args.obstaclefile, params.nx, params.ny)
 
     mesh = None

@@ -23,7 +23,6 @@ except ImportError:  # pragma: no cover - exercised when ext not built
 
 FINAL_STATE_FILE = "final_state.dat"
 AV_VELS_FILE = "av_vels.dat"
-_C_SQ = np.float32(1.0) / np.float32(3.0)
 
 
 def final_state_fields(
@@ -33,7 +32,11 @@ def final_state_fields(
     (d2q9-bgk.c:710-739): obstacle cells get u=0 and pressure=density/3;
     fluid cells get u from the distributions and pressure=rho/3.
     """
-    cells = np.asarray(cells, dtype=np.float32)
+    cells = np.asarray(cells)
+    if cells.dtype not in (np.float32, np.float64):
+        cells = cells.astype(np.float32)
+    d = cells.dtype.type
+    c_sq = d(1.0) / d(3.0)
     obstacles = np.asarray(obstacles, dtype=bool)
     rho = (
         cells[0] + cells[1] + cells[2] + cells[3] + cells[4]
@@ -41,13 +44,13 @@ def final_state_fields(
     )
     u_x = (cells[1] + cells[5] + cells[8] - (cells[3] + cells[6] + cells[7])) / rho
     u_y = (cells[2] + cells[5] + cells[6] - (cells[4] + cells[7] + cells[8])) / rho
-    u = np.sqrt(u_x * u_x + u_y * u_y, dtype=np.float32)
-    pressure = rho * _C_SQ
-    zero = np.float32(0.0)
+    u = np.sqrt(u_x * u_x + u_y * u_y, dtype=cells.dtype)
+    pressure = rho * c_sq
+    zero = d(0.0)
     u_x = np.where(obstacles, zero, u_x)
     u_y = np.where(obstacles, zero, u_y)
     u = np.where(obstacles, zero, u)
-    pressure = np.where(obstacles, np.float32(params.density * _C_SQ), pressure)
+    pressure = np.where(obstacles, d(params.density) * c_sq, pressure)
     return u_x, u_y, u, pressure
 
 
@@ -62,7 +65,7 @@ def write_final_state(
     """
     u_x, u_y, u, pressure = final_state_fields(params, cells, obstacles)
     obs_int = np.asarray(obstacles, dtype=np.int32)
-    if _native is not None:
+    if _native is not None and u.dtype == np.float32:
         _native.write_final_state(
             str(path),
             np.ascontiguousarray(u_x),
@@ -93,8 +96,10 @@ def write_final_state(
 def write_av_vels(path: str | Path, av_vels: np.ndarray) -> None:
     """Write ``av_vels.dat``: one ``tt:\\t%.12E`` line per step
     (d2q9-bgk.c:744-749)."""
-    av_vels = np.asarray(av_vels, dtype=np.float32)
-    if _native is not None:
+    av_vels = np.asarray(av_vels)
+    if av_vels.dtype not in (np.float32, np.float64):
+        av_vels = av_vels.astype(np.float32)
+    if _native is not None and av_vels.dtype == np.float32:
         _native.write_av_vels(str(path), np.ascontiguousarray(av_vels))
         return
     with open(path, "w") as fh:

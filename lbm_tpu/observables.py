@@ -28,8 +28,9 @@ def av_velocity(cells: jnp.ndarray, obstacles: jnp.ndarray) -> jnp.ndarray:
     _, u_x, u_y = macroscopic(cells)
     speed = jnp.sqrt(u_x * u_x + u_y * u_y)
     fluid = ~obstacles
-    tot_u = jnp.sum(jnp.where(fluid, speed, np.float32(0.0)), dtype=jnp.float32)
-    tot_cells = jnp.sum(fluid, dtype=jnp.float32)
+    d = cells.dtype
+    tot_u = jnp.sum(jnp.where(fluid, speed, d.type(0)), dtype=d)
+    tot_cells = jnp.sum(fluid, dtype=d)
     return tot_u / tot_cells
 
 
@@ -39,11 +40,11 @@ def calc_reynolds(
     """av_velocity * reynolds_dim / viscosity (d2q9-bgk.c:675-678)."""
     return (
         av_velocity(cells, obstacles)
-        * np.float32(params.reynolds_dim)
+        * params.dtype(params.reynolds_dim)
         / params.viscosity
     )
 
 
 def total_density(cells: jnp.ndarray) -> jnp.ndarray:
     """Sum of all distributions — conserved per step (d2q9-bgk.c:680-696)."""
-    return jnp.sum(cells, dtype=jnp.float32)
+    return jnp.sum(cells, dtype=cells.dtype)

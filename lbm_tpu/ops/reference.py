@@ -28,15 +28,11 @@ from jax import lax
 
 from lbm_tpu.state import D2Q9
 
-_ONE = np.float32(1.0)
-_ZERO = np.float32(0.0)
-
-
-def _accel_delta(w1: np.float32, w2: np.float32) -> jnp.ndarray:
+def _accel_delta(w1, w2) -> jnp.ndarray:
     """Per-speed forcing deltas: +w1/-w1 on axis speeds 1/3, +w2 on
     diagonals 5,8 and -w2 on 6,7 (d2q9-bgk.c:254-261)."""
     return jnp.asarray(
-        np.array([0, w1, 0, -w1, 0, w2, -w2, -w2, w2], dtype=np.float32)
+        np.array([0, w1, 0, -w1, 0, w2, -w2, -w2, w2], dtype=np.asarray(w1).dtype)
     )
 
 
@@ -44,11 +40,12 @@ def _accelerated_row(
     row: jnp.ndarray, obs_row: jnp.ndarray, w1: np.float32, w2: np.float32
 ) -> jnp.ndarray:
     """Apply the guarded forcing to one (9, nx) row (d2q9-bgk.c:247-262)."""
+    zero = np.asarray(w1).dtype.type(0)
     ok = (
         (~obs_row)
-        & (row[3] - w1 > _ZERO)
-        & (row[6] - w2 > _ZERO)
-        & (row[7] - w2 > _ZERO)
+        & (row[3] - w1 > zero)
+        & (row[6] - w2 > zero)
+        & (row[7] - w2 > zero)
     )
     return jnp.where(ok[None, :], row + _accel_delta(w1, w2)[:, None], row)
 
@@ -101,6 +98,15 @@ def _bgk_update(
     distributions ``s`` (9 planes), matching d2q9-bgk.c:315-335 term by
     term in f32.
     """
+    # All expansion constants in the working dtype: float32 matches the
+    # reference artifact; float64 matches the golden data's original code.
+    d = np.dtype(s[0].dtype).type
+    one, c_sq_r, two_c_sq_r, two_c_sq_sq_r = d(1), d(3), d(1.5), d(4.5)
+    w_axis = d(1) / d(9)
+    w_diag = d(1) / d(36)
+    weights = [d(4) / d(9), w_axis, w_axis, w_axis, w_axis,
+               w_diag, w_diag, w_diag, w_diag]
+
     # Density: reference sums speeds 0..8 left-to-right (d2q9-bgk.c:315).
     rho = s[0] + s[1] + s[2] + s[3] + s[4] + s[5] + s[6] + s[7] + s[8]
     u_x = (s[1] + s[5] + s[8] - (s[3] + s[6] + s[7])) / rho
@@ -111,10 +117,10 @@ def _bgk_update(
     for k in range(D2Q9.Q):
         cx = int(D2Q9.CX[k])
         cy = int(D2Q9.CY[k])
-        w = np.float32(D2Q9.W[k])
+        w = weights[k]
         if cx == 0 and cy == 0:
             # Speed 0: feq = w0 * rho * (1 - u_sq * 1.5)  (d2q9-bgk.c:325)
-            feq = w * rho * (_ONE - u_sq * D2Q9.TWO_C_SQ_R)
+            feq = w * rho * (one - u_sq * two_c_sq_r)
         else:
             # Projected velocity, preserving the reference's expression
             # shapes (e.g. speed 6 uses (-u_x + u_y), d2q9-bgk.c:331).
@@ -130,10 +136,10 @@ def _bgk_update(
                 w
                 * rho
                 * (
-                    _ONE
-                    + uc * D2Q9.C_SQ_R
-                    + (uc * uc) * D2Q9.TWO_C_SQ_SQ_R
-                    - u_sq * D2Q9.TWO_C_SQ_R
+                    one
+                    + uc * c_sq_r
+                    + (uc * uc) * two_c_sq_sq_r
+                    - u_sq * two_c_sq_r
                 )
             )
         relaxed = s[k] + omega * (feq - s[k])
@@ -141,7 +147,7 @@ def _bgk_update(
         new_planes.append(jnp.where(obstacles, bounced, relaxed))
 
     tot_u = jnp.sum(
-        jnp.where(obstacles, _ZERO, jnp.sqrt(u_sq)), dtype=jnp.float32
+        jnp.where(obstacles, d(0), jnp.sqrt(u_sq)), dtype=s[0].dtype
     )
     return jnp.stack(new_planes), tot_u
 

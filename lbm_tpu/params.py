@@ -33,35 +33,41 @@ class Params:
     density: np.float32
     accel: np.float32
     omega: np.float32
+    # Working precision: float32 matches the reference artifact; float64
+    # matches the golden data's original double-precision code (CPU
+    # validation runs with jax_enable_x64).
+    dtype: type = np.float32
 
     def __post_init__(self) -> None:
         if self.nx <= 0 or self.ny <= 0:
             raise ValueError(f"grid dims must be positive, got {self.nx}x{self.ny}")
         if self.max_iters <= 0:
             raise ValueError(f"maxIters must be positive, got {self.max_iters}")
-        # Normalise float fields to float32 no matter what was passed in.
-        object.__setattr__(self, "density", np.float32(self.density))
-        object.__setattr__(self, "accel", np.float32(self.accel))
-        object.__setattr__(self, "omega", np.float32(self.omega))
+        d = np.dtype(self.dtype).type
+        object.__setattr__(self, "dtype", d)
+        # Normalise float fields to the working precision.
+        object.__setattr__(self, "density", d(self.density))
+        object.__setattr__(self, "accel", d(self.accel))
+        object.__setattr__(self, "omega", d(self.omega))
 
     @property
-    def viscosity(self) -> np.float32:
+    def viscosity(self):
         """Kinematic viscosity: (1/6)(2/omega - 1) (d2q9-bgk.c:676)."""
-        one = np.float32(1.0)
-        return one / np.float32(6.0) * (np.float32(2.0) / self.omega - one)
+        d = self.dtype
+        return d(1.0) / d(6.0) * (d(2.0) / self.omega - d(1.0))
 
     @property
-    def accel_w1(self) -> np.float32:
+    def accel_w1(self):
         """Axis-speed forcing weight density*accel/9 (d2q9-bgk.c:237)."""
-        return np.float32(self.density * self.accel / np.float32(9.0))
+        return self.dtype(self.density * self.accel / self.dtype(9.0))
 
     @property
-    def accel_w2(self) -> np.float32:
+    def accel_w2(self):
         """Diagonal-speed forcing weight density*accel/36 (d2q9-bgk.c:238)."""
-        return np.float32(self.density * self.accel / np.float32(36.0))
+        return self.dtype(self.density * self.accel / self.dtype(36.0))
 
 
-def load_params(path: str | Path) -> Params:
+def load_params(path: str | Path, dtype: type = np.float32) -> Params:
     """Parse a 7-line ``.params`` scene file (d2q9-bgk.c:522-528)."""
     path = Path(path)
     fields = ("nx", "ny", "maxIters", "reynolds_dim", "density", "accel", "omega")
@@ -79,9 +85,10 @@ def load_params(path: str | Path) -> Params:
             ny=int(vals[1]),
             max_iters=int(vals[2]),
             reynolds_dim=int(vals[3]),
-            density=np.float32(vals[4]),
-            accel=np.float32(vals[5]),
-            omega=np.float32(vals[6]),
+            density=np.dtype(dtype).type(vals[4]),
+            accel=np.dtype(dtype).type(vals[5]),
+            omega=np.dtype(dtype).type(vals[6]),
+            dtype=dtype,
         )
     except ValueError as exc:
         raise ValueError(f"could not parse param file {path}: {exc}") from exc

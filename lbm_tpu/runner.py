@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from lbm_tpu.params import Params
-from lbm_tpu.obstacles import num_non_obstacles_r
 from lbm_tpu.state import initial_state
 from lbm_tpu.observables import calc_reynolds
 from lbm_tpu.ops import reference as ref_ops
@@ -26,8 +25,8 @@ from lbm_tpu.ops import reference as ref_ops
 
 @dataclasses.dataclass
 class SimulationResult:
-    cells: np.ndarray  # (9, ny, nx) final global state, float32
-    av_vels: np.ndarray  # (maxIters,) float32
+    cells: np.ndarray  # (9, ny, nx) final global state, params.dtype
+    av_vels: np.ndarray  # (maxIters,) params.dtype
     reynolds: float
     timings: dict  # init / compute / collate / total seconds
 
@@ -60,10 +59,11 @@ def make_simulate(params: Params, kernel: str = "auto", n_iters: int | None = No
     """
     iters = params.max_iters if n_iters is None else n_iters
     step = _select_step(kernel, params)
+    av_dtype = params.dtype
 
     @partial(jax.jit, donate_argnums=(0,))
     def simulate(cells, obstacles, inv_fluid):
-        av_vels = jnp.zeros((iters,), dtype=jnp.float32)
+        av_vels = jnp.zeros((iters,), dtype=av_dtype)
 
         def body(tt, carry):
             cells, av_vels = carry
@@ -95,8 +95,10 @@ def run_simulation(
     """
     t0 = time.perf_counter()
     obstacles = np.asarray(obstacles, dtype=bool)
-    inv_fluid = num_non_obstacles_r(obstacles)
-    cells0 = initial_state(params)
+    inv_fluid = params.dtype(1.0) / params.dtype(
+        obstacles.size - int(np.count_nonzero(obstacles))
+    )
+    cells0 = initial_state(params, dtype=params.dtype)
     obs_dev = jnp.asarray(obstacles)
 
     if mesh is not None:
@@ -118,8 +120,8 @@ def run_simulation(
     t2 = time.perf_counter()
 
     # Collate: device -> host gather of the final lattice + trajectory.
-    cells_np = np.asarray(jax.device_get(cells), dtype=np.float32)
-    av_np = np.asarray(jax.device_get(av_vels), dtype=np.float32)
+    cells_np = np.asarray(jax.device_get(cells), dtype=params.dtype)
+    av_np = np.asarray(jax.device_get(av_vels), dtype=params.dtype)
     reynolds = float(calc_reynolds(params, jnp.asarray(cells_np), jnp.asarray(obstacles)))
     t3 = time.perf_counter()
 

@@ -50,21 +50,22 @@ class D2Q9:
     TWO_C_SQ_SQ_R = np.float32(4.5)  # 1 / (2 c_s^4)
 
 
-def initial_state(params: Params) -> jnp.ndarray:
+def initial_state(params: Params, dtype=jnp.float32) -> jnp.ndarray:
     """Uniform equilibrium-at-rest initial distributions (d2q9-bgk.c:584-604).
 
     speed 0 = density*4/9, axis speeds = density/9, diagonals = density/36,
-    everywhere (obstacle cells included).
+    everywhere (obstacle cells included). ``dtype`` float64 gives the
+    original coursework code's precision (the golden data's), for
+    validation runs on CPU with jax_enable_x64.
     """
-    w0 = np.float32(params.density * np.float32(4.0) / np.float32(9.0))
-    w1 = np.float32(params.density / np.float32(9.0))
-    w2 = np.float32(params.density / np.float32(36.0))
-    per_speed = np.array(
-        [w0, w1, w1, w1, w1, w2, w2, w2, w2], dtype=np.float32
-    )
+    d = np.dtype(dtype).type
+    w0 = d(params.density) * d(4.0) / d(9.0)
+    w1 = d(params.density) / d(9.0)
+    w2 = d(params.density) / d(36.0)
+    per_speed = np.array([w0, w1, w1, w1, w1, w2, w2, w2, w2], dtype=dtype)
     return jnp.broadcast_to(
         jnp.asarray(per_speed)[:, None, None], (D2Q9.Q, params.ny, params.nx)
-    ).astype(jnp.float32)
+    ).astype(dtype)
 
 
 def initial_state_np(params: Params) -> np.ndarray:
