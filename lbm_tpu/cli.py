@@ -43,6 +43,23 @@ def build_parser() -> argparse.ArgumentParser:
         "--iters", type=int, default=None, help="override maxIters (debugging)"
     )
     p.add_argument(
+        "--debug", action="store_true",
+        help="print per-step av velocity and total density "
+             "(the reference's -DDEBUG block)",
+    )
+    p.add_argument(
+        "--checkpoint-every", type=int, default=None, metavar="N",
+        help="save a checkpoint every N steps",
+    )
+    p.add_argument(
+        "--checkpoint-file", default="lbm_checkpoint.npz",
+        help="checkpoint path (with --checkpoint-every)",
+    )
+    p.add_argument(
+        "--resume", default=None, metavar="CKPT",
+        help="resume from a checkpoint file",
+    )
+    p.add_argument(
         "--precision",
         choices=["float32", "float64"],
         default="float32",
@@ -88,6 +105,10 @@ def main(argv: list[str] | None = None) -> int:
         kernel=args.kernel,
         n_iters=args.iters,
         mesh=mesh,
+        debug=args.debug,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_file=args.checkpoint_file,
+        resume_from=args.resume,
     )
 
     t = result.timings

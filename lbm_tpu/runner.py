@@ -4,6 +4,14 @@ per-step av_vels accumulation — entirely on device, with av_vels stored in a
 preallocated ``(maxIters,)`` on-device buffer (the reference's host-side
 ``av_vels`` array, d2q9-bgk.c:646) and transferred once at the end (the
 reference's collate, d2q9-bgk.c:395-447).
+
+Extras beyond the reference:
+
+- chunked execution with periodic checkpoint/resume (.npz of step index,
+  lattice state and trajectory prefix) — the reference persisted nothing
+  until the end (SURVEY §5);
+- a debug mode printing the reference's ``-DDEBUG`` per-step block
+  (``==timestep==`` / av velocity / tot density, d2q9-bgk.c:198-202).
 """
 
 from __future__ import annotations
@@ -11,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import time
 from functools import partial
+from pathlib import Path
 
 import numpy as np
 import jax
@@ -19,7 +28,7 @@ from jax import lax
 
 from lbm_tpu.params import Params
 from lbm_tpu.state import initial_state
-from lbm_tpu.observables import calc_reynolds
+from lbm_tpu.observables import calc_reynolds, total_density
 from lbm_tpu.ops import reference as ref_ops
 
 
@@ -79,12 +88,52 @@ def make_simulate(params: Params, kernel: str = "auto", n_iters: int | None = No
     return simulate
 
 
+def make_chunk(params: Params, kernel: str, chunk_iters: int):
+    """Jitted chunk runner ``(cells, obstacles, inv, av, t0) -> (cells, av)``
+    executing ``chunk_iters`` steps that write av_vels[t0:t0+chunk_iters]."""
+    step = _select_step(kernel, params)
+
+    @partial(jax.jit, donate_argnums=(0, 3))
+    def run_chunk(cells, obstacles, inv_fluid, av_vels, t0):
+        def body(i, carry):
+            cells, av_vels = carry
+            cells, tot_u = step(cells, obstacles)
+            av_vels = lax.dynamic_update_slice(
+                av_vels, (tot_u * inv_fluid)[None], (t0 + i,)
+            )
+            return cells, av_vels
+
+        return lax.fori_loop(0, chunk_iters, body, (cells, av_vels))
+
+    return run_chunk
+
+
+def save_checkpoint(path: str | Path, step: int, cells, av_vels) -> None:
+    """Persist (step, lattice, trajectory prefix) as .npz."""
+    np.savez_compressed(
+        path,
+        step=np.int64(step),
+        cells=np.asarray(cells),
+        av_vels=np.asarray(av_vels),
+    )
+
+
+def load_checkpoint(path: str | Path):
+    """Returns (step, cells, av_vels) from a checkpoint file."""
+    with np.load(path) as z:
+        return int(z["step"]), z["cells"], z["av_vels"]
+
+
 def run_simulation(
     params: Params,
     obstacles: np.ndarray,
     kernel: str = "auto",
     n_iters: int | None = None,
     mesh=None,
+    debug: bool = False,
+    checkpoint_every: int | None = None,
+    checkpoint_file: str | Path | None = None,
+    resume_from: str | Path | None = None,
 ) -> SimulationResult:
     """Run the full simulation and return final state + trajectory.
 
@@ -92,37 +141,84 @@ def run_simulation(
     given, the lattice is row-sharded and stepped under ``shard_map`` with
     ppermute halo exchange (the reference's MPI decomposition,
     d2q9-bgk.c:341-393, 483-503).
+
+    ``checkpoint_every``/``checkpoint_file``: periodically persist state;
+    ``resume_from``: continue a previous run's checkpoint.
+    ``debug``: print the reference's -DDEBUG per-step block (slow path).
     """
     t0 = time.perf_counter()
+    iters = params.max_iters if n_iters is None else n_iters
     obstacles = np.asarray(obstacles, dtype=bool)
     inv_fluid = params.dtype(1.0) / params.dtype(
         obstacles.size - int(np.count_nonzero(obstacles))
     )
-    cells0 = initial_state(params, dtype=params.dtype)
     obs_dev = jnp.asarray(obstacles)
+
+    start_step = 0
+    av0 = np.zeros((iters,), dtype=params.dtype)
+    if resume_from is not None:
+        start_step, cells_np, av_prefix = load_checkpoint(resume_from)
+        start_step = min(start_step, iters)
+        cells0 = jnp.asarray(cells_np.astype(params.dtype))
+        av0[:start_step] = av_prefix[:start_step]
+    else:
+        cells0 = initial_state(params, dtype=params.dtype)
+
+    if debug and mesh is None:
+        return _run_debug(
+            params, cells0, obs_dev, inv_fluid, kernel, iters, t0, obstacles
+        )
 
     if mesh is not None:
         from lbm_tpu.parallel import halo
 
-        simulate = halo.make_sharded_simulate(params, mesh, kernel=kernel, n_iters=n_iters)
+        simulate = halo.make_sharded_simulate(
+            params, mesh, kernel=kernel, n_iters=iters
+        )
         cells0, obs_dev = halo.shard_inputs(mesh, cells0, obs_dev)
+        compiled = simulate.lower(cells0, obs_dev, inv_fluid).compile()
+        jax.block_until_ready((cells0, obs_dev))
+        t1 = time.perf_counter()
+        cells, av_vels = compiled(cells0, obs_dev, inv_fluid)
+        jax.block_until_ready(cells)
+        t2 = time.perf_counter()
+    elif checkpoint_every or start_step:
+        # Chunked path: one jitted runner per distinct chunk length
+        # (full chunks + possibly a shorter tail).
+        stride = checkpoint_every or (iters - start_step)
+        runners: dict[int, object] = {}
+        cells = cells0
+        av_vels = jnp.asarray(av0)
+        t1 = time.perf_counter()
+        tt = start_step
+        while tt < iters:
+            n = min(stride, iters - tt)
+            if n not in runners:
+                runners[n] = make_chunk(params, kernel, n)
+            cells, av_vels = runners[n](
+                cells, obs_dev, inv_fluid, av_vels, jnp.int32(tt)
+            )
+            tt += n
+            if checkpoint_every and checkpoint_file is not None:
+                jax.block_until_ready(cells)
+                save_checkpoint(checkpoint_file, tt, cells, av_vels)
+        jax.block_until_ready(cells)
+        t2 = time.perf_counter()
     else:
-        simulate = make_simulate(params, kernel=kernel, n_iters=n_iters)
-
-    # Compile ahead of the timed region (the reference's init phase covers
-    # file I/O + allocation; compilation is our analogous one-off cost).
-    compiled = simulate.lower(cells0, obs_dev, inv_fluid).compile()
-    jax.block_until_ready((cells0, obs_dev))
-    t1 = time.perf_counter()
-
-    cells, av_vels = compiled(cells0, obs_dev, inv_fluid)
-    jax.block_until_ready(cells)
-    t2 = time.perf_counter()
+        simulate = make_simulate(params, kernel=kernel, n_iters=iters)
+        compiled = simulate.lower(cells0, obs_dev, inv_fluid).compile()
+        jax.block_until_ready((cells0, obs_dev))
+        t1 = time.perf_counter()
+        cells, av_vels = compiled(cells0, obs_dev, inv_fluid)
+        jax.block_until_ready(cells)
+        t2 = time.perf_counter()
 
     # Collate: device -> host gather of the final lattice + trajectory.
     cells_np = np.asarray(jax.device_get(cells), dtype=params.dtype)
     av_np = np.asarray(jax.device_get(av_vels), dtype=params.dtype)
-    reynolds = float(calc_reynolds(params, jnp.asarray(cells_np), jnp.asarray(obstacles)))
+    reynolds = float(
+        calc_reynolds(params, jnp.asarray(cells_np), jnp.asarray(obstacles))
+    )
     t3 = time.perf_counter()
 
     return SimulationResult(
@@ -135,4 +231,32 @@ def run_simulation(
             "collate": t3 - t2,
             "total": t3 - t0,
         },
+    )
+
+
+def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, t0, obstacles):
+    """Python-loop path printing the reference's -DDEBUG block per step
+    (d2q9-bgk.c:198-202)."""
+    step = jax.jit(_select_step(kernel, params))
+    cells = cells0
+    av = np.zeros((iters,), dtype=params.dtype)
+    t1 = time.perf_counter()
+    for tt in range(iters):
+        cells, tot_u = step(cells, obs_dev)
+        av[tt] = np.asarray(tot_u) * inv_fluid
+        print("==timestep: %d==" % tt)
+        print("av velocity: %.12E" % av[tt])
+        print("tot density: %.12E" % float(total_density(cells)))
+    t2 = time.perf_counter()
+    cells_np = np.asarray(cells, dtype=params.dtype)
+    reynolds = float(
+        calc_reynolds(params, jnp.asarray(cells_np), jnp.asarray(obstacles))
+    )
+    t3 = time.perf_counter()
+    return SimulationResult(
+        cells=cells_np,
+        av_vels=av,
+        reynolds=reynolds,
+        timings={"init": t1 - t0, "compute": t2 - t1, "collate": t3 - t2,
+                 "total": t3 - t0},
     )
