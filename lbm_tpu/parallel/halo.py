@@ -115,9 +115,7 @@ def make_sharded_simulate(
     step = _shard_step(params, decomp, kernel)
 
     def local_sim(cells, obstacles, inv_fluid):
-        # Mark the per-shard accumulator as device-varying so the loop
-        # carry type matches the varying tot_u written into it.
-        av_partial = lax.pvary(jnp.zeros((iters,), dtype=jnp.float32), (AXIS,))
+        av_partial = jnp.zeros((iters,), dtype=cells.dtype)
 
         def body(tt, carry):
             cells, av = carry
@@ -136,6 +134,9 @@ def make_sharded_simulate(
         mesh=mesh,
         in_specs=(P(None, AXIS, None), P(AXIS, None), P()),
         out_specs=(P(None, AXIS, None), P()),
+        # vma checking can't see through pallas_call out_shapes; skip it
+        # (correctness is covered by the sharded-vs-unsharded tests).
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
 

@@ -120,3 +120,14 @@ def test_sharded_accel_row_on_shard_boundary():
     res_8 = run_simulation(p, obstacles, kernel="reference", mesh=make_mesh(8))
     np.testing.assert_array_equal(res_1.cells, res_8.cells)
     np.testing.assert_allclose(res_1.av_vels, res_8.av_vels, rtol=2e-5)
+
+
+def test_sharded_pallas_matches_unsharded_reference():
+    """Pallas kernel under shard_map (interpret mode on CPU) reproduces
+    the unsharded jnp trajectory — the multi-chip production path."""
+    p = small_params(ny=32, nx=128, max_iters=10)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+    shard = run_simulation(p, obstacles, kernel="pallas", mesh=make_mesh(4))
+    np.testing.assert_allclose(base.cells, shard.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, shard.av_vels, rtol=1e-4)
