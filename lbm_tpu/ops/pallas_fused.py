@@ -36,6 +36,7 @@ Design:
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -49,8 +50,9 @@ from lbm_tpu.ops.reference import _bgk_update, accelerate_flow
 
 Q = D2Q9.Q
 # VMEM budget per DMA slot (two slots live at once, plus the pipelined
-# output and obstacle blocks).
-_SLOT_BYTES = 3 * 1024 * 1024
+# output and obstacle blocks). Tunable: bigger blocks amortise per-block
+# overheads; the scoped-VMEM limit is raised accordingly below.
+_SLOT_BYTES = int(os.environ.get("LBM_PALLAS_SLOT_BYTES", 3 * 1024 * 1024))
 
 
 def _pick_block_rows(h: int, nx: int) -> int:
@@ -119,7 +121,7 @@ def _kernel(
     wait(i, slot)
 
     nx = out_ref.shape[-1]
-    obstacles = obs_ref[:] != 0.0
+    obstacles = obs_ref[:] != 0
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (by, nx), 0)
     streamed = []
     for k in range(Q):
@@ -154,7 +156,7 @@ def _kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("omega_f", "interpret"))
-def _collide_stream_pallas(interior, south, north, obs_f32, *, omega_f, interpret):
+def _collide_stream_pallas(interior, south, north, obs_i8, *, omega_f, interpret):
     q, h, nx = interior.shape
     by = _pick_block_rows(h, nx)
     n_blocks = h // by
@@ -197,6 +199,12 @@ def _collide_stream_pallas(interior, south, north, obs_f32, *, omega_f, interpre
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # Two DMA slots + pipelined output/obstacle blocks; leave
+            # headroom over the computed footprint.
+            vmem_limit_bytes=min(
+                100 * 1024 * 1024,
+                4 * (2 * Q * by * nx * 4 + 2 * Q * by * nx * 4) + (1 << 22),
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(100 * h * nx),
@@ -204,7 +212,7 @@ def _collide_stream_pallas(interior, south, north, obs_f32, *, omega_f, interpre
             transcendentals=int(h * nx),
         ),
         interpret=interpret,
-    )(interior, prevs, nexts, obs_f32)
+    )(interior, prevs, nexts, obs_i8)
     return new, tot[0, 0]
 
 
@@ -215,9 +223,11 @@ def collide_stream_pallas(interior, south, north, obstacles, omega):
     (obstacles bool (H, nx)); interpret-mode on non-TPU backends.
     """
     interpret = jax.default_backend() != "tpu"
-    obs_f32 = obstacles.astype(jnp.float32)
+    # int8 mask: 1 B/cell of HBM traffic instead of 4 (the mask is the
+    # only non-distribution stream in the kernel).
+    obs_i8 = obstacles.astype(jnp.int8)
     return _collide_stream_pallas(
-        interior, south, north, obs_f32,
+        interior, south, north, obs_i8,
         omega_f=float(omega), interpret=interpret,
     )
 
