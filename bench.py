@@ -4,6 +4,13 @@ result (6.2 GLUPS: 1024^2 x 20000 iters / 3.38 s on 112 Broadwell cores,
 report_mpi/report.tex:109-112, BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measurement rules for the tunnelled TPU (docs/PERF.md): state is created
+on-device (host uploads run ~35 MB/s), the freshly compiled program gets
+one untimed execution (remote program load costs ~70-120 s), timing is
+fenced by fetching av_vels to host (block_until_ready alone can return
+early on donated outputs), and the best of several repeats is reported.
+The TPU session can be down for stretches; retry before falling back.
 """
 
 from __future__ import annotations
@@ -14,18 +21,19 @@ import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
-from lbm_tpu.obstacles import generate_obstacles, num_non_obstacles_r
-from lbm_tpu.params import Params
-from lbm_tpu.runner import make_simulate
-from lbm_tpu.state import initial_state
-
 BASELINE_GLUPS = 6.2  # reference's 112-core MPI best at 1024^2
 
 
-def bench(nx: int = 1024, ny: int = 1024, iters: int = 2000, kernel: str = "auto"):
+def bench(nx: int = 1024, ny: int = 1024, iters: int = 2000,
+          kernel: str = "auto", repeats: int = 3):
+    import jax
+    import jax.numpy as jnp
+
+    from lbm_tpu.obstacles import generate_obstacles, num_non_obstacles_r
+    from lbm_tpu.params import Params
+    from lbm_tpu.runner import make_simulate
+    from lbm_tpu.state import initial_state
+
     params = Params(
         nx=nx, ny=ny, max_iters=iters, reynolds_dim=10,
         density=np.float32(0.1), accel=np.float32(0.01), omega=np.float32(1.85),
@@ -37,38 +45,73 @@ def bench(nx: int = 1024, ny: int = 1024, iters: int = 2000, kernel: str = "auto
 
     simulate = make_simulate(params, kernel=kernel, n_iters=iters)
     compiled = simulate.lower(cells0, obs_dev, inv).compile()
-    # Untimed first execution: on remote/tunnelled backends the first run
-    # of a program carries load overhead far beyond steady state.
     c, a = compiled(cells0, obs_dev, inv)
-    np.asarray(a)
-    cells0 = initial_state(params)
-    jax.block_until_ready(cells0)
+    np.asarray(a)  # untimed first execution
 
-    t0 = time.perf_counter()
-    cells, av = compiled(cells0, obs_dev, inv)
-    # Force full host materialisation — block_until_ready alone can return
-    # early through remote-execution backends.
-    av_np = np.asarray(av)
-    dt = time.perf_counter() - t0
+    best = float("inf")
+    av_np = None
+    for _ in range(repeats):
+        cells0 = initial_state(params)
+        jax.block_until_ready(cells0)
+        t0 = time.perf_counter()
+        c, a = compiled(cells0, obs_dev, inv)
+        av_np = np.asarray(a)  # host fetch fences the timing
+        best = min(best, time.perf_counter() - t0)
+    assert av_np is not None and np.isfinite(av_np).all(), "trajectory diverged"
+    return nx * ny * iters / best / 1e9, best
 
-    lups = nx * ny * iters / dt
-    assert np.isfinite(av_np).all(), "trajectory diverged"
-    return lups / 1e9, dt
+
+def _tpu_alive(timeout_s: float = 60.0) -> bool:
+    """Probe the accelerator with a tiny computation in a subprocess (a
+    dead tunnel can hang the caller, so don't probe in-process)."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float((jnp.ones((8,128))+1).sum()))"
+    )
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            timeout=timeout_s,
+        )
+        return res.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main() -> int:
     kernel = sys.argv[1] if len(sys.argv) > 1 else "auto"
+
+    # The tunnelled TPU session drops out for stretches; retry before
+    # falling back to a (honest, slow) CPU measurement.
+    attempts = 6
+    for attempt in range(attempts):
+        if _tpu_alive():
+            break
+        if attempt < attempts - 1:
+            time.sleep(60)
+    else:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        glups, dt = bench(kernel="reference", iters=200, repeats=1)
+        print(json.dumps({
+            "metric": "GLUPS_1024x1024",
+            "value": round(glups, 4),
+            "unit": "GLUPS",
+            "vs_baseline": round(glups / BASELINE_GLUPS, 4),
+            "note": "tpu_unavailable_cpu_fallback",
+        }))
+        return 0
+
     glups, dt = bench(kernel=kernel)
-    print(
-        json.dumps(
-            {
-                "metric": "GLUPS_1024x1024",
-                "value": round(glups, 4),
-                "unit": "GLUPS",
-                "vs_baseline": round(glups / BASELINE_GLUPS, 4),
-            }
-        )
-    )
+    print(json.dumps({
+        "metric": "GLUPS_1024x1024",
+        "value": round(glups, 4),
+        "unit": "GLUPS",
+        "vs_baseline": round(glups / BASELINE_GLUPS, 4),
+    }))
     return 0
 
 
