@@ -91,3 +91,15 @@ def test_fused_step_pallas_trajectory():
             np.asarray(c_ref), np.asarray(c_pal), rtol=2e-5, atol=5e-8
         )
         assert np.isclose(float(t_ref), float(t_pal), rtol=1e-4)
+
+
+def test_pallas_odd_sizes():
+    """Non-128-multiple widths and non-power-of-two heights still match
+    the jnp reference (lane padding + odd block divisors)."""
+    p = small_params(ny=24, nx=100)
+    cells = rand_state(p, seed=5)
+    obstacles = jnp.asarray(generate_obstacles(p.nx, p.ny))
+    south, north = cells[:, -1:, :], cells[:, :1, :]
+    want, _ = collide_stream_halo(cells, south, north, obstacles, p.omega)
+    got, _ = collide_stream_pallas(cells, south, north, obstacles, p.omega)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), rtol=2e-5, atol=5e-8)
