@@ -13,7 +13,7 @@ Design:
   obstacle mask (H, nx) f32. Mosaic DMA slices must be aligned to the
   (8, 128) tile, so the per-block neighbour rows are NOT sliced out of the
   tiled row axis in-kernel; instead two tiny per-block arrays ``prevs`` /
-  ``nexts`` of shape (n_blocks, 9, 1, nx) are gathered OUTSIDE the kernel
+  ``nexts`` of shape (n_blocks, 9, nx) are gathered OUTSIDE the kernel
   (block index on an untiled leading axis, ~2 rows/block of extra traffic —
   exactly the reference's halo rows), and each grid step issues three
   unconditional DMAs: the aligned (9, BY, nx) body block plus its two
@@ -49,6 +49,9 @@ from lbm_tpu.state import D2Q9
 from lbm_tpu.ops.reference import _bgk_update, accelerate_flow
 
 Q = D2Q9.Q
+# Edge-row arrays pad the speed dim to a sublane multiple: Mosaic requires
+# leading-dim DMA slices of wide (N, q, nx) arrays to be 8-aligned in q.
+QP = 16
 # VMEM budget per DMA slot (two slots live at once, plus the pipelined
 # output and obstacle blocks). Tunable: bigger blocks amortise per-block
 # overheads; the scoped-VMEM limit is raised accordingly below.
@@ -68,14 +71,16 @@ def _pick_block_rows(h: int, nx: int) -> int:
 
 def _kernel(
     interior_ref,  # (9, H, nx) HBM
-    prevs_ref,  # (n_blocks, 9, 1, nx) HBM: row below each block
-    nexts_ref,  # (n_blocks, 9, 1, nx) HBM: row above each block
+    prevs_ref,  # (n_blocks, QP, nx) HBM: row below each block (speeds 0..8)
+    nexts_ref,  # (n_blocks, QP, nx) HBM: row above each block
     obs_ref,  # (BY, nx) VMEM block (auto-pipelined)
     out_ref,  # (9, BY, nx) VMEM block (auto-pipelined)
+    firsts_ref,  # (1, QP, nx) VMEM block: this block's new row 0
+    lasts_ref,  # (1, QP, nx) VMEM block: this block's new row BY-1
     tot_ref,  # (1, 1) SMEM block, same block every step
     body_scr,  # (2, 9, BY, nx) VMEM
-    prev_scr,  # (2, 9, 1, nx) VMEM
-    next_scr,  # (2, 9, 1, nx) VMEM
+    prev_scr,  # (2, QP, nx) VMEM
+    next_scr,  # (2, QP, nx) VMEM
     sems,  # (2, 3) DMA semaphores
     *,
     by: int,
@@ -115,7 +120,9 @@ def _kernel(
 
     @pl.when(i + 1 < n)
     def _():
-        start(i + 1, (i + 1) % 2)
+        # Clamp: on single-block grids the predicated-off prefetch would
+        # otherwise lower a statically out-of-range DMA offset.
+        start(jnp.minimum(i + 1, n - 1), (i + 1) % 2)
 
     slot = i % 2
     wait(i, slot)
@@ -145,6 +152,12 @@ def _kernel(
         streamed.append(win)
     new, tot_u = _bgk_update(streamed, obstacles, omega)
     out_ref[:] = new
+    # Edge rows exported per block so the next step's neighbour-row
+    # arrays are a cheap leading-axis roll instead of a strided gather
+    # from the tiled lattice.
+    pad = ((0, QP - Q), (0, 0))
+    firsts_ref[0] = jnp.pad(new[:, 0, :], pad)
+    lasts_ref[0] = jnp.pad(new[:, by - 1, :], pad)
 
     @pl.when(i == 0)
     def _():
@@ -155,26 +168,30 @@ def _kernel(
         tot_ref[0, 0] = tot_ref[0, 0] + tot_u
 
 
+def gather_edge_rows(interior, by):
+    """One-time construction of the per-block edge-row arrays
+    ``(firsts, lasts)`` of shape (n_blocks, 9, nx): rows b*by and
+    b*by+by-1 of each block (strided gather — only used to initialise;
+    the kernel re-exports them every step). The block index leads on an
+    untiled axis so kernel DMAs never slice the tiled row dimension."""
+    pad = ((0, 0), (0, QP - Q), (0, 0))
+    lasts = jnp.pad(interior[:, by - 1 :: by, :].transpose(1, 0, 2), pad)
+    firsts = jnp.pad(interior[:, ::by, :].transpose(1, 0, 2), pad)
+    return firsts, lasts
+
+
 @functools.partial(jax.jit, static_argnames=("omega_f", "interpret"))
-def _collide_stream_pallas(interior, south, north, obs_i8, *, omega_f, interpret):
+def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret):
+    """One fused step given prebuilt neighbour-row arrays. Returns
+    ``(new, firsts, lasts, tot)`` where firsts/lasts are the NEW state's
+    per-block edge rows (for the next step's prevs/nexts)."""
     q, h, nx = interior.shape
     by = _pick_block_rows(h, nx)
     n_blocks = h // by
     omega = np.float32(omega_f)
 
-    # Per-block neighbour rows, block index leading (untiled) so the
-    # kernel's DMAs never slice the tiled row axis. prevs[b] = the lattice
-    # row below block b (south halo for b=0); nexts[b] = the row above
-    # (north halo for the last block).
-    lasts = interior[:, by - 1 :: by, :]  # (9, n_blocks, nx), row b*by+by-1
-    firsts = interior[:, ::by, :]  # (9, n_blocks, nx), row b*by
-    prevs = jnp.concatenate([south, lasts[:, : n_blocks - 1, :]], axis=1)
-    nexts = jnp.concatenate([firsts[:, 1:, :], north], axis=1)
-    prevs = prevs.transpose(1, 0, 2)[:, :, None, :]  # (n_blocks, 9, 1, nx)
-    nexts = nexts.transpose(1, 0, 2)[:, :, None, :]
-
     kernel = functools.partial(_kernel, by=by, omega=omega)
-    new, tot = pl.pallas_call(
+    new, firsts, lasts, tot = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
@@ -185,16 +202,20 @@ def _collide_stream_pallas(interior, south, north, obs_i8, *, omega_f, interpret
         ],
         out_specs=[
             pl.BlockSpec((Q, by, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QP, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QP, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((q, h, nx), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, QP, nx), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, QP, nx), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, Q, by, nx), jnp.float32),
-            pltpu.VMEM((2, Q, 1, nx), jnp.float32),
-            pltpu.VMEM((2, Q, 1, nx), jnp.float32),
+            pltpu.VMEM((2, QP, nx), jnp.float32),
+            pltpu.VMEM((2, QP, nx), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -213,7 +234,26 @@ def _collide_stream_pallas(interior, south, north, obs_i8, *, omega_f, interpret
         ),
         interpret=interpret,
     )(interior, prevs, nexts, obs_i8)
-    return new, tot[0, 0]
+    return new, firsts, lasts, tot[0, 0]
+
+
+def _collide_stream_pallas(interior, south, north, obs_i8, *, omega_f, interpret):
+    q, h, nx = interior.shape
+    by = _pick_block_rows(h, nx)
+    n_blocks = h // by
+    # Standalone form: build the neighbour-row arrays from the lattice.
+    firsts, lasts = gather_edge_rows(interior, by)
+    pad = ((0, 0), (0, QP - Q), (0, 0))
+    prevs = jnp.concatenate(
+        [jnp.pad(south.transpose(1, 0, 2), pad), lasts[: n_blocks - 1]], axis=0
+    )
+    nexts = jnp.concatenate(
+        [firsts[1:], jnp.pad(north.transpose(1, 0, 2), pad)], axis=0
+    )
+    new, _, _, tot = _pallas_step(
+        interior, prevs, nexts, obs_i8, omega_f=omega_f, interpret=interpret
+    )
+    return new, tot
 
 
 def collide_stream_pallas(interior, south, north, obstacles, omega):
@@ -230,6 +270,53 @@ def collide_stream_pallas(interior, south, north, obstacles, omega):
         interior, south, north, obs_i8,
         omega_f=float(omega), interpret=interpret,
     )
+
+
+class CarryStep:
+    """Single-chip step implementation carrying ``(cells, firsts, lasts)``
+    so each step's neighbour-row arrays are a leading-axis roll of the
+    previous kernel's edge-row outputs — no per-step strided gather from
+    the tiled lattice."""
+
+    def __init__(self, params: Params):
+        self.params = params
+        self.w1 = params.accel_w1
+        self.w2 = params.accel_w2
+        self.omega = float(params.omega)
+
+    def _by(self, cells):
+        return _pick_block_rows(cells.shape[1], cells.shape[2])
+
+    def init(self, cells):
+        firsts, lasts = gather_edge_rows(cells, self._by(cells))
+        return (cells, firsts, lasts)
+
+    def step(self, carry, obstacles):
+        cells, firsts, lasts = carry
+        h = cells.shape[1]
+        by = self._by(cells)
+        row = h - 2
+        cells = accelerate_flow(cells, obstacles, self.w1, self.w2)
+        # Mirror the accelerated row into the edge arrays when it is a
+        # block edge (the reference's buffer_up/down_accelerate flags,
+        # d2q9-bgk.c:244-245) — static per geometry.
+        if row % by == 0:
+            firsts = firsts.at[row // by, :Q].set(cells[:, row, :])
+        if row % by == by - 1:
+            lasts = lasts.at[row // by, :Q].set(cells[:, row, :])
+        # Periodic y: block b's south neighbour row is block b-1's last
+        # row (block -1 wraps to the top), and vice versa.
+        prevs = jnp.roll(lasts, 1, axis=0)
+        nexts = jnp.roll(firsts, -1, axis=0)
+        new, f2, l2, tot = _pallas_step(
+            cells, prevs, nexts, obstacles.astype(jnp.int8),
+            omega_f=self.omega,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return (new, f2, l2), tot
+
+    def final(self, carry):
+        return carry[0]
 
 
 def make_fused_step(params: Params):

@@ -40,8 +40,26 @@ class SimulationResult:
     timings: dict  # init / compute / collate / total seconds
 
 
-def _select_step(kernel: str, params: Params):
-    """Resolve a step function ``(cells, obstacles) -> (cells, tot_u)``."""
+class _SimpleImpl:
+    """Carry = the lattice itself (jnp reference path)."""
+
+    def __init__(self, step):
+        self._step = step
+
+    def init(self, cells):
+        return cells
+
+    def step(self, carry, obs):
+        return self._step(carry, obs)
+
+    def final(self, carry):
+        return carry
+
+
+def _select_impl(kernel: str, params: Params):
+    """Resolve a step implementation with init/step/final over an opaque
+    carry (the Pallas path carries per-block edge-row arrays alongside
+    the lattice)."""
     w1, w2, omega = params.accel_w1, params.accel_w2, params.omega
     if kernel == "auto":
         if jax.default_backend() == "tpu":
@@ -54,12 +72,25 @@ def _select_step(kernel: str, params: Params):
         else:
             kernel = "reference"
     if kernel == "reference":
-        return lambda cells, obs: ref_ops.fused_step(cells, obs, w1, w2, omega)
+        return _SimpleImpl(
+            lambda cells, obs: ref_ops.fused_step(cells, obs, w1, w2, omega)
+        )
     if kernel == "pallas":
         from lbm_tpu.ops import pallas_fused
 
-        return pallas_fused.make_fused_step(params)
+        return pallas_fused.CarryStep(params)
     raise ValueError(f"unknown kernel {kernel!r}")
+
+
+def _select_step(kernel: str, params: Params):
+    """Back-compat: a plain ``(cells, obstacles) -> (cells, tot_u)``."""
+    impl = _select_impl(kernel, params)
+
+    def step(cells, obs):
+        carry, tot = impl.step(impl.init(cells), obs)
+        return impl.final(carry), tot
+
+    return step
 
 
 def make_simulate(params: Params, kernel: str = "auto", n_iters: int | None = None):
@@ -67,23 +98,26 @@ def make_simulate(params: Params, kernel: str = "auto", n_iters: int | None = No
     ``(cells0, obstacles, inv_fluid) -> (final_cells, av_vels)``.
     """
     iters = params.max_iters if n_iters is None else n_iters
-    step = _select_step(kernel, params)
+    impl = _select_impl(kernel, params)
     av_dtype = params.dtype
 
     @partial(jax.jit, donate_argnums=(0,))
     def simulate(cells, obstacles, inv_fluid):
         av_vels = jnp.zeros((iters,), dtype=av_dtype)
 
-        def body(tt, carry):
-            cells, av_vels = carry
-            cells, tot_u = step(cells, obstacles)
+        def body(tt, loop_carry):
+            carry, av_vels = loop_carry
+            carry, tot_u = impl.step(carry, obstacles)
             # Per-step scaling by 1/num_fluid_cells is algebraically the
             # reference's end-of-run scaling of the reduced sums
             # (d2q9-bgk.c:445-446).
             av_vels = av_vels.at[tt].set(tot_u * inv_fluid)
-            return cells, av_vels
+            return carry, av_vels
 
-        return lax.fori_loop(0, iters, body, (cells, av_vels))
+        carry, av_vels = lax.fori_loop(
+            0, iters, body, (impl.init(cells), av_vels)
+        )
+        return impl.final(carry), av_vels
 
     return simulate
 
@@ -91,21 +125,31 @@ def make_simulate(params: Params, kernel: str = "auto", n_iters: int | None = No
 def make_chunk(params: Params, kernel: str, chunk_iters: int):
     """Jitted chunk runner ``(cells, obstacles, inv, av, t0) -> (cells, av)``
     executing ``chunk_iters`` steps that write av_vels[t0:t0+chunk_iters]."""
-    step = _select_step(kernel, params)
+    impl = _select_impl(kernel, params)
 
     @partial(jax.jit, donate_argnums=(0, 3))
     def run_chunk(cells, obstacles, inv_fluid, av_vels, t0):
-        def body(i, carry):
-            cells, av_vels = carry
-            cells, tot_u = step(cells, obstacles)
+        def body(i, loop_carry):
+            carry, av_vels = loop_carry
+            carry, tot_u = impl.step(carry, obstacles)
             av_vels = lax.dynamic_update_slice(
                 av_vels, (tot_u * inv_fluid)[None], (t0 + i,)
             )
-            return cells, av_vels
+            return carry, av_vels
 
-        return lax.fori_loop(0, chunk_iters, body, (cells, av_vels))
+        carry, av_vels = lax.fori_loop(
+            0, chunk_iters, body, (impl.init(cells), av_vels)
+        )
+        return impl.final(carry), av_vels
 
     return run_chunk
+
+
+def _fence(small_output) -> None:
+    """Force completion of the computation producing ``small_output`` by
+    fetching it to host — block_until_ready can return early for donated
+    outputs on tunnelled backends (docs/PERF.md)."""
+    np.asarray(small_output)
 
 
 def save_checkpoint(path: str | Path, step: int, cells, av_vels) -> None:
@@ -180,7 +224,7 @@ def run_simulation(
         jax.block_until_ready((cells0, obs_dev))
         t1 = time.perf_counter()
         cells, av_vels = compiled(cells0, obs_dev, inv_fluid)
-        jax.block_until_ready(cells)
+        _fence(av_vels)
         t2 = time.perf_counter()
     elif checkpoint_every or start_step:
         # Chunked path: one jitted runner per distinct chunk length
@@ -200,9 +244,9 @@ def run_simulation(
             )
             tt += n
             if checkpoint_every and checkpoint_file is not None:
-                jax.block_until_ready(cells)
+                _fence(av_vels)
                 save_checkpoint(checkpoint_file, tt, cells, av_vels)
-        jax.block_until_ready(cells)
+        _fence(av_vels)
         t2 = time.perf_counter()
     else:
         simulate = make_simulate(params, kernel=kernel, n_iters=iters)
@@ -210,7 +254,7 @@ def run_simulation(
         jax.block_until_ready((cells0, obs_dev))
         t1 = time.perf_counter()
         cells, av_vels = compiled(cells0, obs_dev, inv_fluid)
-        jax.block_until_ready(cells)
+        _fence(av_vels)
         t2 = time.perf_counter()
 
     # Collate: device -> host gather of the final lattice + trajectory.
