@@ -60,13 +60,20 @@ _SLOT_BYTES = int(os.environ.get("LBM_PALLAS_SLOT_BYTES", 3 * 1024 * 1024))
 
 def _pick_block_rows(h: int, nx: int) -> int:
     """Largest divisor of h whose 9-speed f32 row block fits the per-slot
-    VMEM budget."""
+    VMEM budget. Multiples of 8 are strongly preferred (body DMA offsets
+    land on (8,128)-tile boundaries); when the budget would force fewer
+    than 8 rows, the smallest 8-multiple divisor wins instead (the raised
+    vmem limit absorbs the overshoot)."""
     budget_rows = max(1, _SLOT_BYTES // (Q * nx * 4))
-    best = 1
-    for by in range(1, h + 1):
-        if h % by == 0 and by <= budget_rows:
-            best = by
-    return best
+    divisors = [d for d in range(1, h + 1) if h % d == 0]
+    aligned = [d for d in divisors if d % 8 == 0]
+    fitting = [d for d in aligned if d <= budget_rows]
+    if fitting:
+        return fitting[-1]
+    if aligned:
+        return aligned[0]
+    fallback = [d for d in divisors if d <= budget_rows]
+    return fallback[-1] if fallback else 1
 
 
 def _kernel(
