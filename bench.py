@@ -24,7 +24,7 @@ import numpy as np
 BASELINE_GLUPS = 6.2  # reference's 112-core MPI best at 1024^2
 
 
-def bench(nx: int = 1024, ny: int = 1024, iters: int = 2000,
+def bench(nx: int = 1024, ny: int = 1024, iters: int = 10000,
           kernel: str = "auto", repeats: int = 3):
     import jax
     import jax.numpy as jnp
