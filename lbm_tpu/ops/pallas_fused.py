@@ -2,31 +2,44 @@
 
 The TPU-native equivalent of the reference's hot loop (``timestep``,
 d2q9-bgk.c:268-339) and of its OpenCL kernel experiment
-(report_mpi/report.tex:873-921): one pass over the lattice doing pull
-streaming + bounce-back + BGK relaxation + the tot_u reduction, VMEM-blocked
-over rows with explicit one-row halos (the reference's +2 halo rows,
-d2q9-bgk.c:546).
+(report_mpi/report.tex:873-921): one pass over the lattice doing (optional
+in-kernel) accelerate_flow + pull streaming + bounce-back + BGK relaxation
++ the tot_u reduction, VMEM-blocked over rows with explicit one-row halos
+(the reference's +2 halo rows, d2q9-bgk.c:546).
 
 Design:
 
-- Inputs ``interior`` (9, H, nx), ``south``/``north`` (9, 1, nx) halo rows,
-  obstacle mask (H, nx) f32. Mosaic DMA slices must be aligned to the
-  (8, 128) tile, so the per-block neighbour rows are NOT sliced out of the
-  tiled row axis in-kernel; instead two tiny per-block arrays ``prevs`` /
-  ``nexts`` of shape (n_blocks, 9, nx) are gathered OUTSIDE the kernel
-  (block index on an untiled leading axis, ~2 rows/block of extra traffic —
-  exactly the reference's halo rows), and each grid step issues three
-  unconditional DMAs: the aligned (9, BY, nx) body block plus its two
-  neighbour rows, double-buffered across two VMEM slots so the next
-  block's fetch overlaps this block's compute (the kernel is
+- Inputs ``interior`` (9, H, nx) and per-block neighbour-row arrays
+  ``prevs``/``nexts`` (n_blocks, QP, nx). Mosaic DMA slices must be
+  (8, 128)-tile aligned on both sides, so neighbour rows ride an untiled
+  leading block axis with the speed dim padded 9 -> QP=16; channel 9
+  carries the row's obstacle flags (so in-kernel acceleration can apply
+  its fluid guard to halo copies without extra loads). Each grid step
+  issues three unconditional DMAs — the aligned (9, BY, nx) body block
+  plus its two neighbour rows — double-buffered across two VMEM slots so
+  the next block's fetch overlaps this block's compute (the kernel is
   HBM-bandwidth-bound at ~0.5 FLOP/byte, like the reference:
   report_mpi/report.tex:158).
+- Acceleration (d2q9-bgk.c:235-266) can run inside the kernel on the
+  loaded copies (an :class:`AccelSpec` names the forced line, per-speed
+  deltas and guard speeds): zero extra HBM traffic, and the guarded
+  update is applied consistently to every copy a stream can read — the
+  reference's rank/buffer accelerate flags (d2q9-bgk.c:241-245) by
+  construction.
 - The ±1-row pull windows are built in registers: sublane ``pltpu.roll``
   of the body with the one wrong edge row patched in via an iota select
   from the neighbour-row buffer. Periodic x is a lane rotate per speed.
-- Periodic y is the caller's choice of south/north rows, so the same
+- Periodic y is the caller's choice of neighbour rows, so the same
   kernel serves the single-chip (wrapped rows) and sharded (ppermute'd
   rows) paths.
+- The new state's per-block edge rows are exported as extra outputs, so
+  a stepping loop's next neighbour-row arrays are a leading-axis roll —
+  no strided gather from the tiled lattice (:class:`CarryStep`).
+- For wide grids (nx >> ny) :class:`TransposedCarryStep` runs the whole
+  simulation on the transposed lattice (speeds swap x/y components under
+  transpose), putting the long dimension on sublanes where the row
+  machinery is optimal; acceleration becomes a lane-masked in-kernel
+  update (axis=1).
 - The BGK math is the shared :func:`lbm_tpu.ops.reference._bgk_update`,
   guaranteeing term-for-term f32 agreement with the portable path.
 - tot_u accumulates across the sequential TPU grid into a (1, 1) SMEM
@@ -35,6 +48,7 @@ Design:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 
@@ -51,11 +65,57 @@ from lbm_tpu.ops.reference import _bgk_update, accelerate_flow
 Q = D2Q9.Q
 # Edge-row arrays pad the speed dim to a sublane multiple: Mosaic requires
 # leading-dim DMA slices of wide (N, q, nx) arrays to be 8-aligned in q.
+# Channel OBS_CH carries the row's obstacle flags.
 QP = 16
+OBS_CH = Q  # == 9
+# Speed permutation under lattice transpose (x and y velocity components
+# swap): transposed-space speed k stores physical speed SIGMA[k].
+SIGMA = (0, 2, 1, 4, 3, 5, 8, 7, 6)
 # VMEM budget per DMA slot (two slots live at once, plus the pipelined
 # output and obstacle blocks). Tunable: bigger blocks amortise per-block
 # overheads; the scoped-VMEM limit is raised accordingly below.
 _SLOT_BYTES = int(os.environ.get("LBM_PALLAS_SLOT_BYTES", 3 * 1024 * 1024))
+
+
+@dataclasses.dataclass(frozen=True)
+class AccelSpec:
+    """Static description of the accelerate_flow forcing for in-kernel
+    application (d2q9-bgk.c:235-266).
+
+    ``axis``: 0 = the forced line is a lattice row (sublane index),
+    1 = a column (lane index). ``index`` is its global coordinate.
+    ``deltas``: per-speed additive forcing. ``guards``: (speed, threshold)
+    triples that must stay positive after subtraction for the cell to be
+    forced (plus the not-an-obstacle condition).
+    """
+
+    axis: int
+    index: int
+    deltas: tuple
+    guards: tuple
+
+    @staticmethod
+    def rows(params: Params, h: int) -> "AccelSpec":
+        """Physical layout: force row h-2 (go/d2q9-bgk.go:131)."""
+        w1, w2 = float(params.accel_w1), float(params.accel_w2)
+        return AccelSpec(
+            axis=0,
+            index=h - 2,
+            deltas=(0.0, w1, 0.0, -w1, 0.0, w2, -w2, -w2, w2),
+            guards=((3, w1), (6, w2), (7, w2)),
+        )
+
+    @staticmethod
+    def lanes(params: Params, ny_phys: int) -> "AccelSpec":
+        """Transposed layout: the physical row ny-2 is lane column ny-2;
+        deltas/guards permute through SIGMA."""
+        base = AccelSpec.rows(params, ny_phys)
+        return AccelSpec(
+            axis=1,
+            index=ny_phys - 2,
+            deltas=tuple(base.deltas[SIGMA[k]] for k in range(Q)),
+            guards=tuple((SIGMA[g], t) for g, t in base.guards),
+        )
 
 
 def _pick_block_rows(h: int, nx: int) -> int:
@@ -76,11 +136,38 @@ def _pick_block_rows(h: int, nx: int) -> int:
     return fallback[-1] if fallback else 1
 
 
+def _accel_ok(vals, fluid_f, accel: AccelSpec, line_f):
+    """The forcing guard on one loaded copy: on the forced line, fluid,
+    and no guarded speed driven negative (d2q9-bgk.c:250-253).
+
+    All factors are f32 0/1 indicators multiplied together — Mosaic
+    rejects several i1-vector patterns (i8 ``==``, vector vs dynamic
+    scalar compares, mixed-replication logical ands)."""
+    okf = line_f * fluid_f
+    for g, t in accel.guards:
+        okf = okf * (
+            vals[g] - np.float32(t) > np.float32(0.0)
+        ).astype(jnp.float32)
+    return okf
+
+
+def _accelerated(vals, okf, accel: AccelSpec):
+    """Apply the per-speed deltas scaled by the 0/1 indicator."""
+    out = []
+    for k in range(Q):
+        d = np.float32(accel.deltas[k])
+        if float(d) == 0.0:
+            out.append(vals[k])
+        else:
+            out.append(vals[k] + d * okf)
+    return out
+
+
 def _kernel(
     interior_ref,  # (9, H, nx) HBM
-    prevs_ref,  # (n_blocks, QP, nx) HBM: row below each block (speeds 0..8)
-    nexts_ref,  # (n_blocks, QP, nx) HBM: row above each block
-    obs_ref,  # (BY, nx) VMEM block (auto-pipelined)
+    prevs_ref,  # (n_blocks, QP, nx) HBM: row below each block (+obs ch 9)
+    nexts_ref,  # (n_blocks, QP, nx) HBM: row above each block (+obs ch 9)
+    obs_ref,  # (BY, nx) VMEM block (auto-pipelined, int8)
     out_ref,  # (9, BY, nx) VMEM block (auto-pipelined)
     firsts_ref,  # (1, QP, nx) VMEM block: this block's new row 0
     lasts_ref,  # (1, QP, nx) VMEM block: this block's new row BY-1
@@ -92,6 +179,7 @@ def _kernel(
     *,
     by: int,
     omega: np.float32,
+    accel: AccelSpec | None,
 ):
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -137,34 +225,77 @@ def _kernel(
     nx = out_ref.shape[-1]
     obstacles = obs_ref[:] != 0
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (by, nx), 0)
+
+    body = [body_scr[slot, k] for k in range(Q)]
+    prev_row = [prev_scr[slot, k] for k in range(Q)]
+    next_row = [next_scr[slot, k] for k in range(Q)]
+
+    if accel is not None:
+        fluid_body = np.float32(1.0) - obstacles.astype(jnp.float32)
+        if accel.axis == 0:
+            # Forced row: by construction it is never a block-edge row
+            # (callers assert index % by not in {0, by-1}), so only the
+            # body copy needs patching. The row mask is a STATIC local-row
+            # comparison gated by a scalar owner-block factor (vector vs
+            # dynamic scalar compares are unsupported on this target).
+            lr = accel.index % by
+            ab = accel.index // by
+            owner = jnp.where(
+                i == np.int32(ab), np.float32(1.0), np.float32(0.0)
+            )
+            line_f = (row_ids == np.int32(lr)).astype(jnp.float32) * owner
+            ok = _accel_ok(body, fluid_body, accel, line_f)
+            body = _accelerated(body, ok, accel)
+        else:
+            # Forced lane column: present in the body and both edge rows.
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (by, nx), 1)
+            line_f = (lane_ids == np.int32(accel.index)).astype(jnp.float32)
+            ok = _accel_ok(body, fluid_body, accel, line_f)
+            body = _accelerated(body, ok, accel)
+            lane1 = (
+                jax.lax.broadcasted_iota(jnp.int32, (nx,), 0)
+                == np.int32(accel.index)
+            ).astype(jnp.float32)
+            # The obs channel already stores f32 0/1 flags.
+            fluid_p = np.float32(1.0) - prev_scr[slot, OBS_CH]
+            ok_p = _accel_ok(prev_row, fluid_p, accel, lane1)
+            prev_row = _accelerated(prev_row, ok_p, accel)
+            fluid_n = np.float32(1.0) - next_scr[slot, OBS_CH]
+            ok_n = _accel_ok(next_row, fluid_n, accel, lane1)
+            next_row = _accelerated(next_row, ok_n, accel)
+
     streamed = []
     for k in range(Q):
         cy = int(D2Q9.CY[k])
         cx = int(D2Q9.CX[k])
-        body = body_scr[slot, k]  # (BY, nx)
         if cy == 0:
-            win = body
+            win = body[k]
         elif cy == 1:
             # Pull from row j-1: sublane roll down, then patch row 0 with
             # the row below the block.
-            rolled = pltpu.roll(body, 1, 0) if by > 1 else body
-            win = jnp.where(row_ids == 0, prev_scr[slot, k], rolled)
+            rolled = pltpu.roll(body[k], 1, 0) if by > 1 else body[k]
+            win = jnp.where(row_ids == 0, prev_row[k], rolled)
         else:
             # Pull from row j+1: roll up, patch the top row.
-            rolled = pltpu.roll(body, by - 1, 0) if by > 1 else body
-            win = jnp.where(row_ids == by - 1, next_scr[slot, k], rolled)
+            rolled = pltpu.roll(body[k], by - 1, 0) if by > 1 else body[k]
+            win = jnp.where(row_ids == by - 1, next_row[k], rolled)
         if cx != 0:
             # Periodic x: lane rotate (pltpu.roll needs shift >= 0).
             win = pltpu.roll(win, cx % nx, 1)
         streamed.append(win)
     new, tot_u = _bgk_update(streamed, obstacles, omega)
     out_ref[:] = new
-    # Edge rows exported per block so the next step's neighbour-row
-    # arrays are a cheap leading-axis roll instead of a strided gather
-    # from the tiled lattice.
-    pad = ((0, QP - Q), (0, 0))
-    firsts_ref[0] = jnp.pad(new[:, 0, :], pad)
-    lasts_ref[0] = jnp.pad(new[:, by - 1, :], pad)
+    # Edge rows exported per block (with their obstacle flags in channel
+    # OBS_CH) so the next step's neighbour-row arrays are a cheap
+    # leading-axis roll instead of a strided gather from the tiled lattice.
+    zeros_tail = jnp.zeros((QP - Q - 1, nx), jnp.float32)
+    obs_f = obs_ref[:].astype(jnp.float32)
+    firsts_ref[0] = jnp.concatenate(
+        [new[:, 0, :], obs_f[0:1, :], zeros_tail], axis=0
+    )
+    lasts_ref[0] = jnp.concatenate(
+        [new[:, by - 1, :], obs_f[by - 1 : by, :], zeros_tail], axis=0
+    )
 
     @pl.when(i == 0)
     def _():
@@ -175,20 +306,32 @@ def _kernel(
         tot_ref[0, 0] = tot_ref[0, 0] + tot_u
 
 
-def gather_edge_rows(interior, by):
+def gather_edge_rows(interior, obstacles, by):
     """One-time construction of the per-block edge-row arrays
-    ``(firsts, lasts)`` of shape (n_blocks, 9, nx): rows b*by and
-    b*by+by-1 of each block (strided gather — only used to initialise;
-    the kernel re-exports them every step). The block index leads on an
-    untiled axis so kernel DMAs never slice the tiled row dimension."""
-    pad = ((0, 0), (0, QP - Q), (0, 0))
-    lasts = jnp.pad(interior[:, by - 1 :: by, :].transpose(1, 0, 2), pad)
-    firsts = jnp.pad(interior[:, ::by, :].transpose(1, 0, 2), pad)
+    ``(firsts, lasts)`` of shape (n_blocks, QP, nx): rows b*by and
+    b*by+by-1 of each block, with channel OBS_CH carrying the row's
+    obstacle flags. The block index leads on an untiled axis so kernel
+    DMAs never slice the tiled row dimension."""
+    obs_f = obstacles.astype(jnp.float32)
+
+    def build(rows, obs_rows):
+        base = rows.transpose(1, 0, 2)  # (n_blocks, 9, nx)
+        obs_c = obs_rows[:, None, :]  # (n_blocks, 1, nx)
+        tail = jnp.zeros(
+            (base.shape[0], QP - Q - 1, base.shape[2]), jnp.float32
+        )
+        return jnp.concatenate([base, obs_c, tail], axis=1)
+
+    lasts = build(interior[:, by - 1 :: by, :], obs_f[by - 1 :: by, :])
+    firsts = build(interior[:, ::by, :], obs_f[::by, :])
     return firsts, lasts
 
 
-@functools.partial(jax.jit, static_argnames=("omega_f", "interpret"))
-def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("omega_f", "interpret", "accel")
+)
+def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret,
+                 accel=None):
     """One fused step given prebuilt neighbour-row arrays. Returns
     ``(new, firsts, lasts, tot)`` where firsts/lasts are the NEW state's
     per-block edge rows (for the next step's prevs/nexts)."""
@@ -197,7 +340,7 @@ def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret):
     n_blocks = h // by
     omega = np.float32(omega_f)
 
-    kernel = functools.partial(_kernel, by=by, omega=omega)
+    kernel = functools.partial(_kernel, by=by, omega=omega, accel=accel)
     new, firsts, lasts, tot = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -244,18 +387,25 @@ def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret):
     return new, firsts, lasts, tot[0, 0]
 
 
+def _edge_pad(row9, nx):
+    """(9, 1, nx) halo row -> (1, QP, nx) edge-array entry (obs ch = 0:
+    halo rows come from outside the block's mask and are only read as
+    streaming sources unless an AccelSpec needs them — wrapped-row callers
+    fill the channel from the real mask)."""
+    return jnp.pad(row9.transpose(1, 0, 2), ((0, 0), (0, QP - Q), (0, 0)))
+
+
 def _collide_stream_pallas(interior, south, north, obs_i8, *, omega_f, interpret):
     q, h, nx = interior.shape
     by = _pick_block_rows(h, nx)
     n_blocks = h // by
     # Standalone form: build the neighbour-row arrays from the lattice.
-    firsts, lasts = gather_edge_rows(interior, by)
-    pad = ((0, 0), (0, QP - Q), (0, 0))
+    firsts, lasts = gather_edge_rows(interior, obs_i8 != 0, by)
     prevs = jnp.concatenate(
-        [jnp.pad(south.transpose(1, 0, 2), pad), lasts[: n_blocks - 1]], axis=0
+        [_edge_pad(south, nx), lasts[: n_blocks - 1]], axis=0
     )
     nexts = jnp.concatenate(
-        [firsts[1:], jnp.pad(north.transpose(1, 0, 2), pad)], axis=0
+        [firsts[1:], _edge_pad(north, nx)], axis=0
     )
     new, _, _, tot = _pallas_step(
         interior, prevs, nexts, obs_i8, omega_f=omega_f, interpret=interpret
@@ -279,51 +429,109 @@ def collide_stream_pallas(interior, south, north, obstacles, omega):
     )
 
 
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
 class CarryStep:
     """Single-chip step implementation carrying ``(cells, firsts, lasts)``
     so each step's neighbour-row arrays are a leading-axis roll of the
     previous kernel's edge-row outputs — no per-step strided gather from
-    the tiled lattice."""
+    the tiled lattice. Acceleration runs inside the kernel when the forced
+    row is block-interior (always true for the ny-2 row with 8-row
+    blocks); otherwise it falls back to the XLA row update."""
 
     def __init__(self, params: Params):
         self.params = params
-        self.w1 = params.accel_w1
-        self.w2 = params.accel_w2
         self.omega = float(params.omega)
 
-    def _by(self, cells):
-        return _pick_block_rows(cells.shape[1], cells.shape[2])
+    def _geometry(self, h, nx):
+        by = _pick_block_rows(h, nx)
+        row = h - 2
+        in_kernel = by >= 3 and row % by not in (0, by - 1)
+        return by, row, in_kernel
 
-    def init(self, cells):
-        firsts, lasts = gather_edge_rows(cells, self._by(cells))
+    def init(self, cells, obstacles):
+        by = _pick_block_rows(cells.shape[1], cells.shape[2])
+        firsts, lasts = gather_edge_rows(cells, obstacles, by)
         return (cells, firsts, lasts)
 
     def step(self, carry, obstacles):
         cells, firsts, lasts = carry
-        h = cells.shape[1]
-        by = self._by(cells)
-        row = h - 2
-        cells = accelerate_flow(cells, obstacles, self.w1, self.w2)
-        # Mirror the accelerated row into the edge arrays when it is a
-        # block edge (the reference's buffer_up/down_accelerate flags,
-        # d2q9-bgk.c:244-245) — static per geometry.
-        if row % by == 0:
-            firsts = firsts.at[row // by, :Q].set(cells[:, row, :])
-        if row % by == by - 1:
-            lasts = lasts.at[row // by, :Q].set(cells[:, row, :])
+        h, nx = cells.shape[1], cells.shape[2]
+        by, row, in_kernel = self._geometry(h, nx)
+        if in_kernel:
+            accel = AccelSpec.rows(self.params, h)
+        else:
+            accel = None
+            cells = accelerate_flow(
+                cells, obstacles, self.params.accel_w1, self.params.accel_w2
+            )
+            if row % by == 0:
+                firsts = firsts.at[row // by, :Q].set(cells[:, row, :])
+            if row % by == by - 1:
+                lasts = lasts.at[row // by, :Q].set(cells[:, row, :])
         # Periodic y: block b's south neighbour row is block b-1's last
         # row (block -1 wraps to the top), and vice versa.
         prevs = jnp.roll(lasts, 1, axis=0)
         nexts = jnp.roll(firsts, -1, axis=0)
         new, f2, l2, tot = _pallas_step(
             cells, prevs, nexts, obstacles.astype(jnp.int8),
-            omega_f=self.omega,
-            interpret=jax.default_backend() != "tpu",
+            omega_f=self.omega, interpret=_interpret(), accel=accel,
         )
         return (new, f2, l2), tot
 
     def final(self, carry):
         return carry[0]
+
+
+def transpose_state(cells):
+    """Physical (9, ny, nx) <-> transposed (9, nx, ny): swap the spatial
+    axes and permute speeds by SIGMA (x and y velocity components swap).
+    The map is an involution."""
+    return jnp.stack([cells[SIGMA[k]].T for k in range(Q)])
+
+
+class TransposedCarryStep:
+    """CarryStep on the transposed lattice — for wide grids (nx >> ny)
+    the long dimension moves onto sublanes, where the blocked row
+    machinery runs at full rate; the 6 periodic-x lane rotates then act
+    on the short dimension. Acceleration (physical row ny-2) becomes a
+    lane-masked in-kernel update of column ny-2."""
+
+    def __init__(self, params: Params):
+        self.params = params
+        self.omega = float(params.omega)
+
+    def init(self, cells, obstacles):
+        cells_t = transpose_state(cells)  # (9, nx, ny)
+        obs_t = obstacles.T
+        by = _pick_block_rows(cells_t.shape[1], cells_t.shape[2])
+        firsts, lasts = gather_edge_rows(cells_t, obs_t, by)
+        return (cells_t, obs_t, firsts, lasts)
+
+    def step(self, carry, obstacles):
+        cells_t, obs_t, firsts, lasts = carry
+        ny_phys = cells_t.shape[2]
+        accel = AccelSpec.lanes(self.params, ny_phys)
+        prevs = jnp.roll(lasts, 1, axis=0)
+        nexts = jnp.roll(firsts, -1, axis=0)
+        new, f2, l2, tot = _pallas_step(
+            cells_t, prevs, nexts, obs_t.astype(jnp.int8),
+            omega_f=self.omega, interpret=_interpret(), accel=accel,
+        )
+        return (new, obs_t, f2, l2), tot
+
+    def final(self, carry):
+        return transpose_state(carry[0])
+
+
+def make_carry_step(params: Params, ny: int, nx: int):
+    """Pick the execution layout: transposed when the grid is much wider
+    than tall (and tall enough transposed to block well)."""
+    if nx >= 2 * ny and nx % 8 == 0:
+        return TransposedCarryStep(params)
+    return CarryStep(params)
 
 
 def make_fused_step(params: Params):

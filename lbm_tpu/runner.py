@@ -46,7 +46,7 @@ class _SimpleImpl:
     def __init__(self, step):
         self._step = step
 
-    def init(self, cells):
+    def init(self, cells, obstacles):
         return cells
 
     def step(self, carry, obs):
@@ -78,7 +78,7 @@ def _select_impl(kernel: str, params: Params):
     if kernel == "pallas":
         from lbm_tpu.ops import pallas_fused
 
-        return pallas_fused.CarryStep(params)
+        return pallas_fused.make_carry_step(params, params.ny, params.nx)
     raise ValueError(f"unknown kernel {kernel!r}")
 
 
@@ -87,7 +87,7 @@ def _select_step(kernel: str, params: Params):
     impl = _select_impl(kernel, params)
 
     def step(cells, obs):
-        carry, tot = impl.step(impl.init(cells), obs)
+        carry, tot = impl.step(impl.init(cells, obs), obs)
         return impl.final(carry), tot
 
     return step
@@ -115,7 +115,7 @@ def make_simulate(params: Params, kernel: str = "auto", n_iters: int | None = No
             return carry, av_vels
 
         carry, av_vels = lax.fori_loop(
-            0, iters, body, (impl.init(cells), av_vels)
+            0, iters, body, (impl.init(cells, obstacles), av_vels)
         )
         return impl.final(carry), av_vels
 
@@ -138,7 +138,7 @@ def make_chunk(params: Params, kernel: str, chunk_iters: int):
             return carry, av_vels
 
         carry, av_vels = lax.fori_loop(
-            0, chunk_iters, body, (impl.init(cells), av_vels)
+            0, chunk_iters, body, (impl.init(cells, obstacles), av_vels)
         )
         return impl.final(carry), av_vels
 

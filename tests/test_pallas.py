@@ -103,3 +103,54 @@ def test_pallas_odd_sizes():
     want, _ = collide_stream_halo(cells, south, north, obstacles, p.omega)
     got, _ = collide_stream_pallas(cells, south, north, obstacles, p.omega)
     np.testing.assert_allclose(np.asarray(want), np.asarray(got), rtol=2e-5, atol=5e-8)
+
+
+def test_carrystep_inkernel_accel_trajectory():
+    """CarryStep (in-kernel row acceleration) trajectory matches the jnp
+    path. Square grid so make_carry_step picks the row layout."""
+    from lbm_tpu.runner import make_simulate
+    from lbm_tpu.state import initial_state
+    from lbm_tpu.obstacles import num_non_obstacles_r
+    from lbm_tpu.ops.pallas_fused import make_carry_step, CarryStep
+
+    p = small_params(ny=128, nx=128, max_iters=8)
+    assert isinstance(make_carry_step(p, p.ny, p.nx), CarryStep)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    inv = num_non_obstacles_r(obstacles)
+    obs = jnp.asarray(obstacles)
+    c1, a1 = make_simulate(p, kernel="reference", n_iters=8)(
+        initial_state(p), obs, inv)
+    c2, a2 = make_simulate(p, kernel="pallas", n_iters=8)(
+        initial_state(p), obs, inv)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-4)
+
+
+def test_transposed_carrystep_trajectory():
+    """TransposedCarryStep (wide-grid layout, lane-masked acceleration)
+    matches the jnp path on a wide grid."""
+    from lbm_tpu.runner import make_simulate
+    from lbm_tpu.state import initial_state
+    from lbm_tpu.obstacles import num_non_obstacles_r
+    from lbm_tpu.ops.pallas_fused import make_carry_step, TransposedCarryStep
+
+    p = small_params(ny=32, nx=128, max_iters=8)
+    assert isinstance(make_carry_step(p, p.ny, p.nx), TransposedCarryStep)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    inv = num_non_obstacles_r(obstacles)
+    obs = jnp.asarray(obstacles)
+    c1, a1 = make_simulate(p, kernel="reference", n_iters=8)(
+        initial_state(p), obs, inv)
+    c2, a2 = make_simulate(p, kernel="pallas", n_iters=8)(
+        initial_state(p), obs, inv)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-4)
+
+
+def test_transpose_state_involution():
+    from lbm_tpu.ops.pallas_fused import transpose_state
+
+    rng = np.random.default_rng(12)
+    cells = jnp.asarray(rng.random((9, 16, 32), np.float32))
+    back = transpose_state(transpose_state(cells))
+    np.testing.assert_array_equal(np.asarray(cells), np.asarray(back))
