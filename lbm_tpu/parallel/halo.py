@@ -66,33 +66,118 @@ def exchange_halos(interior: jnp.ndarray, n_shards: int):
     return south, north
 
 
-def _shard_step(params: Params, decomp: RowDecomposition, kernel: str):
-    """Build the per-shard step ``(cells, obstacles) -> (cells, tot_u)``."""
-    w1, w2, omega = params.accel_w1, params.accel_w2, params.omega
-    local_ny = decomp.local_ny
-    n = decomp.n_shards
+class _ReferenceShardImpl:
+    """Per-shard jnp step: accelerate (owner shard only), exchange raw
+    halo rows, run the halo-aware portable kernel. Carry = local cells."""
 
-    if kernel == "pallas":
-        from lbm_tpu.ops import pallas_fused
+    def __init__(self, params: Params, decomp: RowDecomposition):
+        self.params = params
+        self.decomp = decomp
 
-        local_kernel = pallas_fused.make_halo_kernel(params, local_ny)
-    else:
-        local_kernel = lambda i, s, nn, o: ref_ops.collide_stream_halo(
-            i, s, nn, o, omega
-        )
+    def init(self, cells, obstacles):
+        return cells
 
-    def step(cells, obstacles):
-        # (9, local_ny, nx), (local_ny, nx)
+    def step(self, cells, obstacles):
+        p, d = self.params, self.decomp
         my = lax.axis_index(AXIS)
-        local_row = np.int32(decomp.accel_row) - my * np.int32(local_ny)
-        active = (local_row >= 0) & (local_row < local_ny)
+        local_row = np.int32(d.accel_row) - my * np.int32(d.local_ny)
+        active = (local_row >= 0) & (local_row < d.local_ny)
         cells = ref_ops.accelerate_flow_dynamic(
-            cells, obstacles, w1, w2, local_row, active
+            cells, obstacles, p.accel_w1, p.accel_w2, local_row, active
         )
-        south, north = exchange_halos(cells, n)
-        return local_kernel(cells, south, north, obstacles)
+        south, north = exchange_halos(cells, d.n_shards)
+        new, tot = ref_ops.collide_stream_halo(
+            cells, south, north, obstacles, p.omega
+        )
+        return new, tot
 
-    return step
+    def final(self, cells):
+        return cells
+
+
+class _PallasShardImpl:
+    """Per-shard fused-kernel step carrying per-block edge-row arrays
+    (the single-chip CarryStep design): the shard's boundary rows ARE its
+    first/last edge entries, so the per-step halo exchange ppermutes
+    those QP-padded entries directly and the kernel never re-gathers from
+    the tiled lattice."""
+
+    def __init__(self, params: Params, decomp: RowDecomposition):
+        from lbm_tpu.ops import pallas_fused as pf
+
+        self.pf = pf
+        self.params = params
+        self.decomp = decomp
+
+    def init(self, cells, obstacles):
+        by = self.pf._pick_block_rows(cells.shape[1], cells.shape[2])
+        firsts, lasts = self.pf.gather_edge_rows(cells, obstacles, by)
+        return (cells, firsts, lasts)
+
+    def _accel(self, cells, firsts, lasts, obstacles):
+        """Owner-shard acceleration with the edge-array mirror for the
+        (rare) geometries where the forced row is a block edge — the
+        reference's buffer_up/down flags (d2q9-bgk.c:244-245,499-500)."""
+        import jax.numpy as jnp
+
+        p, d, pf = self.params, self.decomp, self.pf
+        h, nx = cells.shape[1], cells.shape[2]
+        by = pf._pick_block_rows(h, nx)
+        my = lax.axis_index(AXIS)
+        local_row = np.int32(d.accel_row) - my * np.int32(d.local_ny)
+        active = (local_row >= 0) & (local_row < d.local_ny)
+        cells = ref_ops.accelerate_flow_dynamic(
+            cells, obstacles, p.accel_w1, p.accel_w2, local_row, active
+        )
+        idx = jnp.clip(local_row, 0, h - 1)
+        b = idx // np.int32(by)
+        r = idx % np.int32(by)
+        row = lax.dynamic_slice(cells, (0, idx, 0), (9, 1, nx))[:, 0, :]
+        obs_row = lax.dynamic_slice(
+            obstacles, (idx, 0), (1, nx)
+        ).astype(jnp.float32)
+        payload = jnp.concatenate(
+            [row, obs_row, jnp.zeros((pf.QP - pf.Q - 1, nx), jnp.float32)],
+            axis=0,
+        )[None]
+        def mirror(arr, hit):
+            cur = lax.dynamic_slice(arr, (b, 0, 0), (1, pf.QP, nx))
+            upd = jnp.where(hit & active, payload, cur)
+            return lax.dynamic_update_slice(arr, upd, (b, 0, 0))
+        firsts = mirror(firsts, r == 0)
+        lasts = mirror(lasts, r == np.int32(by - 1))
+        return cells, firsts, lasts
+
+    def step(self, carry, obstacles):
+        import jax.numpy as jnp
+
+        cells, firsts, lasts = carry
+        n = self.decomp.n_shards
+        cells, firsts, lasts = self._accel(cells, firsts, lasts, obstacles)
+        # Halo exchange of the QP-padded edge entries over the ring.
+        if n == 1:
+            prevs = jnp.roll(lasts, 1, axis=0)
+            nexts = jnp.roll(firsts, -1, axis=0)
+        else:
+            south_e = lax.ppermute(lasts[-1:], AXIS, _up_perm(n))
+            north_e = lax.ppermute(firsts[:1], AXIS, _down_perm(n))
+            prevs = jnp.concatenate([south_e, lasts[:-1]], axis=0)
+            nexts = jnp.concatenate([firsts[1:], north_e], axis=0)
+        new, f2, l2, tot = self.pf._pallas_step(
+            cells, prevs, nexts, obstacles.astype(jnp.int8),
+            omega_f=float(self.params.omega),
+            interpret=self.pf._interpret(), accel=None,
+        )
+        return (new, f2, l2), tot
+
+    def final(self, carry):
+        return carry[0]
+
+
+def _shard_impl(params: Params, decomp: RowDecomposition, kernel: str):
+    if kernel == "pallas":
+        return _PallasShardImpl(params, decomp)
+    return _ReferenceShardImpl(params, decomp)
 
 
 def make_sharded_simulate(
@@ -112,22 +197,24 @@ def make_sharded_simulate(
     iters = params.max_iters if n_iters is None else n_iters
     if kernel == "auto":
         kernel = "pallas" if jax.default_backend() == "tpu" else "reference"
-    step = _shard_step(params, decomp, kernel)
+    impl = _shard_impl(params, decomp, kernel)
 
     def local_sim(cells, obstacles, inv_fluid):
         av_partial = jnp.zeros((iters,), dtype=cells.dtype)
 
-        def body(tt, carry):
-            cells, av = carry
-            cells, tot_u = step(cells, obstacles)
+        def body(tt, loop_carry):
+            carry, av = loop_carry
+            carry, tot_u = impl.step(carry, obstacles)
             av = av.at[tt].set(tot_u * inv_fluid)
-            return cells, av
+            return carry, av
 
-        cells, av_partial = lax.fori_loop(0, iters, body, (cells, av_partial))
+        carry, av_partial = lax.fori_loop(
+            0, iters, body, (impl.init(cells, obstacles), av_partial)
+        )
         # One reduction for the whole trajectory, not one per step — the
         # reference's single end-of-run MPI_Reduce (d2q9-bgk.c:445).
         av = lax.psum(av_partial, AXIS)
-        return cells, av
+        return impl.final(carry), av
 
     sharded = jax.shard_map(
         local_sim,
