@@ -548,13 +548,3 @@ def make_fused_step(params: Params):
 
     return step
 
-
-def make_halo_kernel(params: Params, local_ny: int):
-    """Per-shard kernel for the shard_map path: same signature as
-    ``collide_stream_halo``."""
-    omega = params.omega
-
-    def kernel(interior, south, north, obstacles):
-        return collide_stream_pallas(interior, south, north, obstacles, omega)
-
-    return kernel
