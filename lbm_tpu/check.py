@@ -13,7 +13,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from lbm_tpu.io import compare_golden, load_final_state
+from lbm_tpu.io import compare_golden_arrays, load_av_vels, load_final_state
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -31,14 +31,15 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     try:
-        res = compare_golden(
-            args.av_vels_file[0],
-            args.final_state_file[0],
-            args.ref_av_vels_file[0],
-            args.ref_final_state_file[0],
+        fs_sim = load_final_state(args.final_state_file[0])
+        res = compare_golden_arrays(
+            load_av_vels(args.av_vels_file[0]),
+            fs_sim,
+            load_av_vels(args.ref_av_vels_file[0]),
+            load_final_state(args.ref_final_state_file[0]),
             tolerance=args.tolerance[0],
         )
-    except ValueError as exc:
+    except (ValueError, OSError) as exc:
         print(exc)
         return 1
 
@@ -48,9 +49,8 @@ def main(argv: list[str] | None = None) -> int:
     print("  %.12E vs. %.12E = %.2g%%" % (av.sim_val, av.ref_val, av.max_diff_pcnt))
     print()
     fs = res.final_state
-    coords = load_final_state(args.final_state_file[0])
-    jj = int(coords[fs.max_diff_index, 0])
-    ii = int(coords[fs.max_diff_index, 1])
+    jj = int(fs_sim[fs.max_diff_index, 0])
+    ii = int(fs_sim[fs.max_diff_index, 1])
     print("Total difference in final_state : %.12E" % fs.total)
     print("Biggest difference (at coord (%d,%d)) : %.12E" % (jj, ii, fs.max_diff))
     print("  %.12E vs. %.12E = %.2g%%" % (fs.sim_val, fs.ref_val, fs.max_diff_pcnt))

@@ -172,6 +172,26 @@ def _diff(ref: np.ndarray, sim: np.ndarray) -> FileDiff:
     )
 
 
+def compare_golden_arrays(
+    av_sim: np.ndarray,
+    fs_sim: np.ndarray,
+    av_ref: np.ndarray,
+    fs_ref: np.ndarray,
+    tolerance: float = 1.0,
+) -> GoldenResult:
+    """Array-level form of :func:`compare_golden` (inputs as loaded by
+    load_av_vels / load_final_state)."""
+    if np.any(fs_ref[:, 0:2] != fs_sim[:, 0:2]):
+        raise ValueError("Final state files coordinates were not the same")
+    if av_ref.size != av_sim.size:
+        raise ValueError("Different number of steps in av_vels files")
+    return GoldenResult(
+        av_vels=_diff(av_ref, av_sim),
+        final_state=_diff(fs_ref[:, 2], fs_sim[:, 2]),
+        tolerance=tolerance,
+    )
+
+
 def compare_golden(
     av_vels_file: str | Path,
     final_state_file: str | Path,
@@ -184,16 +204,10 @@ def compare_golden(
     max percentage diff of av_vels (col 1) and final_state pressure (col 5)
     must be ≤ tolerance (default 1%).
     """
-    av_ref = load_av_vels(ref_av_vels_file)
-    fs_ref = load_final_state(ref_final_state_file)
-    av_sim = load_av_vels(av_vels_file)
-    fs_sim = load_final_state(final_state_file)
-    if np.any(fs_ref[:, 0:2] != fs_sim[:, 0:2]):
-        raise ValueError("Final state files coordinates were not the same")
-    if av_ref.size != av_sim.size:
-        raise ValueError("Different number of steps in av_vels files")
-    return GoldenResult(
-        av_vels=_diff(av_ref, av_sim),
-        final_state=_diff(fs_ref[:, 2], fs_sim[:, 2]),
+    return compare_golden_arrays(
+        load_av_vels(av_vels_file),
+        load_final_state(final_state_file),
+        load_av_vels(ref_av_vels_file),
+        load_final_state(ref_final_state_file),
         tolerance=tolerance,
     )

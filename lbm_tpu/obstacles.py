@@ -41,15 +41,16 @@ def load_obstacles(path: str | Path, nx: int, ny: int) -> np.ndarray:
     return mask
 
 
-def num_non_obstacles_r(mask: np.ndarray) -> np.float32:
+def num_non_obstacles_r(mask: np.ndarray, dtype=np.float32):
     """1 / (number of fluid cells), the av_vels normaliser (d2q9-bgk.c:642).
 
     The reference divides by ``nx*ny - num_obstacle_lines`` where the count
     is of *file lines*; with well-formed (duplicate-free) files that equals
     the popcount of the mask used here.
     """
+    d = np.dtype(dtype).type
     fluid = mask.size - int(np.count_nonzero(mask))
-    return np.float32(1.0) / np.float32(fluid)
+    return d(1.0) / d(fluid)
 
 
 def generate_obstacles(

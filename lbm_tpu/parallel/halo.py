@@ -228,6 +228,47 @@ def make_sharded_simulate(
     return jax.jit(sharded, donate_argnums=(0,))
 
 
+def make_sharded_chunk(
+    params: Params,
+    mesh: Mesh,
+    kernel: str,
+    chunk_iters: int,
+):
+    """Sharded analogue of runner.make_chunk:
+    ``(cells, obstacles, inv, av, t0) -> (cells, av)`` running
+    ``chunk_iters`` steps that fill av_vels[t0:t0+chunk_iters] (av passed
+    replicated; the chunk's partials are psum'd once at the end)."""
+    n_shards = mesh.shape[AXIS]
+    decomp = RowDecomposition(ny=params.ny, n_shards=n_shards)
+    if kernel == "auto":
+        kernel = "pallas" if jax.default_backend() == "tpu" else "reference"
+    impl = _shard_impl(params, decomp, kernel)
+
+    def local_chunk(cells, obstacles, inv_fluid, av, t0):
+        av_partial = jnp.zeros((chunk_iters,), dtype=cells.dtype)
+
+        def body(i, loop_carry):
+            carry, avp = loop_carry
+            carry, tot_u = impl.step(carry, obstacles)
+            avp = avp.at[i].set(tot_u * inv_fluid)
+            return carry, avp
+
+        carry, av_partial = lax.fori_loop(
+            0, chunk_iters, body, (impl.init(cells, obstacles), av_partial)
+        )
+        av = lax.dynamic_update_slice(av, lax.psum(av_partial, AXIS), (t0,))
+        return impl.final(carry), av
+
+    sharded = jax.shard_map(
+        local_chunk,
+        mesh=mesh,
+        in_specs=(P(None, AXIS, None), P(AXIS, None), P(), P(), P()),
+        out_specs=(P(None, AXIS, None), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 3))
+
+
 def shard_inputs(mesh: Mesh, cells: jnp.ndarray, obstacles: jnp.ndarray):
     """Place the initial state and mask with the shardings the sharded
     simulate expects."""

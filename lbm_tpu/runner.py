@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from lbm_tpu.params import Params
+from lbm_tpu.obstacles import num_non_obstacles_r
 from lbm_tpu.state import initial_state
 from lbm_tpu.observables import calc_reynolds, total_density
 from lbm_tpu.ops import reference as ref_ops
@@ -62,7 +63,7 @@ def _select_impl(kernel: str, params: Params):
     the lattice)."""
     w1, w2, omega = params.accel_w1, params.accel_w2, params.omega
     if kernel == "auto":
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and params.dtype == np.float32:
             try:
                 from lbm_tpu.ops import pallas_fused  # noqa: F401
 
@@ -71,6 +72,11 @@ def _select_impl(kernel: str, params: Params):
                 kernel = "reference"
         else:
             kernel = "reference"
+    if kernel == "pallas" and params.dtype != np.float32:
+        raise ValueError(
+            "the pallas kernel is float32-only; use --kernel reference "
+            "with --precision float64"
+        )
     if kernel == "reference":
         return _SimpleImpl(
             lambda cells, obs: ref_ops.fused_step(cells, obs, w1, w2, omega)
@@ -193,9 +199,7 @@ def run_simulation(
     t0 = time.perf_counter()
     iters = params.max_iters if n_iters is None else n_iters
     obstacles = np.asarray(obstacles, dtype=bool)
-    inv_fluid = params.dtype(1.0) / params.dtype(
-        obstacles.size - int(np.count_nonzero(obstacles))
-    )
+    inv_fluid = num_non_obstacles_r(obstacles, dtype=params.dtype)
     obs_dev = jnp.asarray(obstacles)
 
     start_step = 0
@@ -208,12 +212,15 @@ def run_simulation(
     else:
         cells0 = initial_state(params, dtype=params.dtype)
 
-    if debug and mesh is None:
+    if debug:
+        if mesh is not None:
+            raise ValueError("--debug is not supported with --devices > 1")
         return _run_debug(
-            params, cells0, obs_dev, inv_fluid, kernel, iters, t0, obstacles
+            params, cells0, obs_dev, inv_fluid, kernel, iters, t0,
+            obstacles, start_step, av0,
         )
 
-    if mesh is not None:
+    if mesh is not None and not (checkpoint_every or start_step):
         from lbm_tpu.parallel import halo
 
         simulate = halo.make_sharded_simulate(
@@ -227,18 +234,36 @@ def run_simulation(
         _fence(av_vels)
         t2 = time.perf_counter()
     elif checkpoint_every or start_step:
-        # Chunked path: one jitted runner per distinct chunk length
-        # (full chunks + possibly a shorter tail).
+        # Chunked path (single-device or sharded): one jitted runner per
+        # distinct chunk length (full chunks + possibly a shorter tail),
+        # all compiled before the compute timer starts.
         stride = checkpoint_every or (iters - start_step)
-        runners: dict[int, object] = {}
-        cells = cells0
+        if mesh is not None:
+            from lbm_tpu.parallel import halo
+
+            cells0, obs_dev = halo.shard_inputs(mesh, cells0, obs_dev)
+            mk = lambda n: halo.make_sharded_chunk(params, mesh, kernel, n)
+        else:
+            mk = lambda n: make_chunk(params, kernel, n)
+        sizes = []
+        tt_probe = start_step
+        while tt_probe < iters:
+            n = min(stride, iters - tt_probe)
+            if n not in sizes:
+                sizes.append(n)
+            tt_probe += n
         av_vels = jnp.asarray(av0)
+        runners = {
+            n: mk(n).lower(
+                cells0, obs_dev, inv_fluid, av_vels, jnp.int32(0)
+            ).compile()
+            for n in sizes
+        }
+        cells = cells0
         t1 = time.perf_counter()
         tt = start_step
         while tt < iters:
             n = min(stride, iters - tt)
-            if n not in runners:
-                runners[n] = make_chunk(params, kernel, n)
             cells, av_vels = runners[n](
                 cells, obs_dev, inv_fluid, av_vels, jnp.int32(tt)
             )
@@ -278,14 +303,16 @@ def run_simulation(
     )
 
 
-def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, t0, obstacles):
+def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, t0,
+               obstacles, start_step=0, av0=None):
     """Python-loop path printing the reference's -DDEBUG block per step
-    (d2q9-bgk.c:198-202)."""
+    (d2q9-bgk.c:198-202); resumes mid-trajectory when given a start step
+    and av prefix."""
     step = jax.jit(_select_step(kernel, params))
     cells = cells0
-    av = np.zeros((iters,), dtype=params.dtype)
+    av = np.zeros((iters,), dtype=params.dtype) if av0 is None else av0
     t1 = time.perf_counter()
-    for tt in range(iters):
+    for tt in range(start_step, iters):
         cells, tot_u = step(cells, obs_dev)
         av[tt] = np.asarray(tot_u) * inv_fluid
         print("==timestep: %d==" % tt)

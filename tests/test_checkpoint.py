@@ -75,3 +75,70 @@ def test_debug_mode_prints_reference_block(capsys):
     # Debug trajectory equals the jitted path's.
     base = run_simulation(p, obstacles, kernel="reference")
     np.testing.assert_allclose(base.av_vels, res.av_vels, rtol=1e-6)
+
+
+def test_sharded_resume_matches_full():
+    """Resume + checkpoint work under a device mesh (regression: the mesh
+    branch used to silently re-run from step 0 of the checkpoint)."""
+    from lbm_tpu.parallel.decomp import make_mesh
+
+    p = small_params(ny=32, max_iters=24)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    mesh = make_mesh(4)
+    full = run_simulation(p, obstacles, kernel="reference", mesh=mesh)
+    run_simulation(
+        p, obstacles, kernel="reference", mesh=mesh, n_iters=12,
+        checkpoint_every=12, checkpoint_file="/tmp/ck_shard.npz",
+    )
+    resumed = run_simulation(
+        p, obstacles, kernel="reference", mesh=mesh,
+        resume_from="/tmp/ck_shard.npz",
+    )
+    np.testing.assert_array_equal(full.cells, resumed.cells)
+    np.testing.assert_allclose(full.av_vels, resumed.av_vels, rtol=1e-6)
+
+
+def test_debug_resume_continues_labels(tmp_path, capsys):
+    """Debug mode resumes from the checkpointed step (labels and av
+    prefix preserved)."""
+    p = small_params(max_iters=6)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    half = run_simulation(
+        p, obstacles, kernel="reference", n_iters=3,
+        checkpoint_every=3, checkpoint_file=tmp_path / "ck.npz",
+    )
+    res = run_simulation(
+        p, obstacles, kernel="reference", debug=True,
+        resume_from=tmp_path / "ck.npz",
+    )
+    out = capsys.readouterr().out
+    assert "==timestep: 3==" in out and "==timestep: 0==" not in out
+    full = run_simulation(p, obstacles, kernel="reference")
+    np.testing.assert_allclose(full.av_vels, res.av_vels, rtol=1e-6)
+
+
+def test_debug_with_mesh_rejected():
+    from lbm_tpu.parallel.decomp import make_mesh
+
+    p = small_params()
+    obstacles = generate_obstacles(p.nx, p.ny)
+    import pytest
+
+    with pytest.raises(ValueError, match="debug"):
+        run_simulation(p, obstacles, debug=True, mesh=make_mesh(2))
+
+
+def test_f64_pallas_rejected_cleanly():
+    import pytest
+
+    p = small_params()
+    import numpy as _np
+
+    p64 = Params(nx=p.nx, ny=p.ny, max_iters=2, reynolds_dim=10,
+                 density=0.1, accel=0.005, omega=1.85, dtype=_np.float64)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    with pytest.raises(ValueError, match="float32-only"):
+        run_simulation(p64, obstacles, kernel="pallas")
+    # auto falls back to the portable kernel instead of crashing.
+    res = run_simulation(p64, obstacles, kernel="auto", n_iters=2)
+    assert res.av_vels.dtype == _np.float64
