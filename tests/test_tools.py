@@ -82,3 +82,20 @@ def test_plot_script(tmp_path):
     )
     assert res.returncode == 0, res.stderr
     assert out.stat().st_size > 0
+
+
+def test_plot_roofline_script(tmp_path):
+    import json
+
+    data = [{"grid": "1024x1024", "kernel": "pallas", "devices": 1,
+             "iters": 100, "seconds": 0.01, "glups": 10.0}]
+    f = tmp_path / "sweep.json"
+    f.write_text(json.dumps(data))
+    out = tmp_path / "roofline.png"
+    res = subprocess.run(
+        [sys.executable, str(REPO / "scripts/plot_roofline.py"),
+         str(f), "-o", str(out)],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    assert out.stat().st_size > 0
