@@ -168,23 +168,36 @@ def _kernel(
     prevs_ref,  # (n_blocks, QP, nx) HBM: row below each block (+obs ch 9)
     nexts_ref,  # (n_blocks, QP, nx) HBM: row above each block (+obs ch 9)
     obs_ref,  # (BY, nx) VMEM block (auto-pipelined, int8)
-    out_ref,  # (9, BY, nx) VMEM block (auto-pipelined)
-    firsts_ref,  # (1, QP, nx) VMEM block: this block's new row 0
-    lasts_ref,  # (1, QP, nx) VMEM block: this block's new row BY-1
-    tot_ref,  # (1, 1) SMEM block, same block every step
-    body_scr,  # (2, 9, BY, nx) VMEM
-    prev_scr,  # (2, QP, nx) VMEM
-    next_scr,  # (2, QP, nx) VMEM
-    sems,  # (2, 3) DMA semaphores
-    *,
+    *rest,
     by: int,
     omega: np.float32,
     accel: AccelSpec | None,
+    ring: bool = False,
+    has_dst: bool = False,
 ):
+    if has_dst:
+        # Donor refs for input_output_aliases — memory only, never read.
+        (_dc, _df, _dl, out_ref, firsts_ref, lasts_ref, tot_ref,
+         body_scr, prev_scr, next_scr, sems) = rest
+    else:
+        (out_ref, firsts_ref, lasts_ref, tot_ref,
+         body_scr, prev_scr, next_scr, sems) = rest
+    # out_ref: (9, BY, nx) VMEM block; firsts/lasts_ref: (1, QP, nx) VMEM
+    # blocks (this block's new edge rows); tot_ref: (1,1) SMEM, same block
+    # every step; body/prev/next_scr: double-buffered VMEM DMA slots.
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
     def dmas(block, slot):
+        if ring:
+            # prevs_ref/nexts_ref hold the CURRENT lasts/firsts arrays;
+            # block b's south neighbour row is lasts[(b-1) % n] and its
+            # north neighbour is firsts[(b+1) % n] (periodic y).
+            prev_src = prevs_ref.at[(block - 1 + n) % n]
+            next_src = nexts_ref.at[(block + 1) % n]
+        else:
+            prev_src = prevs_ref.at[block]
+            next_src = nexts_ref.at[block]
         return (
             pltpu.make_async_copy(
                 interior_ref.at[:, pl.ds(block * by, by), :],
@@ -192,10 +205,10 @@ def _kernel(
                 sems.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                prevs_ref.at[block], prev_scr.at[slot], sems.at[slot, 1]
+                prev_src, prev_scr.at[slot], sems.at[slot, 1]
             ),
             pltpu.make_async_copy(
-                nexts_ref.at[block], next_scr.at[slot], sems.at[slot, 2]
+                next_src, next_scr.at[slot], sems.at[slot, 2]
             ),
         )
 
@@ -327,29 +340,46 @@ def gather_edge_rows(interior, obstacles, by):
     return firsts, lasts
 
 
-@functools.partial(
-    jax.jit, static_argnames=("omega_f", "interpret", "accel")
-)
 def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret,
-                 accel=None):
-    """One fused step given prebuilt neighbour-row arrays. Returns
-    ``(new, firsts, lasts, tot)`` where firsts/lasts are the NEW state's
-    per-block edge rows (for the next step's prevs/nexts)."""
+                 accel=None, ring=False, dst=None):
+    """One fused step. Returns ``(new, firsts, lasts, tot)`` where
+    firsts/lasts are the NEW state's per-block edge rows.
+
+    ``ring=True``: ``prevs``/``nexts`` are the CURRENT lasts/firsts edge
+    arrays themselves; the kernel ring-indexes neighbours (periodic y) —
+    no rolled copies. ``dst``: optional (cells, firsts, lasts) buffer
+    donors aliased to the first three outputs, letting a paired stepping
+    loop keep every while-carry slot on a fixed buffer (XLA otherwise
+    inserts a full-lattice carry copy per iteration above ~100 MB state).
+
+    Deliberately NOT wrapped in jax.jit: a nested jit becomes a
+    closed_call in the surrounding loop with its own buffer boundary.
+    Callers are jitted."""
     q, h, nx = interior.shape
     by = _pick_block_rows(h, nx)
     n_blocks = h // by
     omega = np.float32(omega_f)
 
-    kernel = functools.partial(_kernel, by=by, omega=omega, accel=accel)
+    kernel = functools.partial(
+        _kernel, by=by, omega=omega, accel=accel, ring=ring,
+        has_dst=dst is not None,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [interior, prevs, nexts, obs_i8]
+    aliases = {}
+    if dst is not None:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        operands += list(dst)
+        aliases = {4: 0, 5: 1, 6: 2}
     new, firsts, lasts, tot = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((Q, by, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, QP, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -382,8 +412,9 @@ def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret,
             bytes_accessed=int((2 * Q * 4 + 4) * h * nx),
             transcendentals=int(h * nx),
         ),
+        input_output_aliases=aliases,
         interpret=interpret,
-    )(interior, prevs, nexts, obs_i8)
+    )(*operands)
     return new, firsts, lasts, tot[0, 0]
 
 
@@ -433,58 +464,6 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-class CarryStep:
-    """Single-chip step implementation carrying ``(cells, firsts, lasts)``
-    so each step's neighbour-row arrays are a leading-axis roll of the
-    previous kernel's edge-row outputs — no per-step strided gather from
-    the tiled lattice. Acceleration runs inside the kernel when the forced
-    row is block-interior (always true for the ny-2 row with 8-row
-    blocks); otherwise it falls back to the XLA row update."""
-
-    def __init__(self, params: Params):
-        self.params = params
-        self.omega = float(params.omega)
-
-    def _geometry(self, h, nx):
-        by = _pick_block_rows(h, nx)
-        row = h - 2
-        in_kernel = by >= 3 and row % by not in (0, by - 1)
-        return by, row, in_kernel
-
-    def init(self, cells, obstacles):
-        by = _pick_block_rows(cells.shape[1], cells.shape[2])
-        firsts, lasts = gather_edge_rows(cells, obstacles, by)
-        return (cells, firsts, lasts)
-
-    def step(self, carry, obstacles):
-        cells, firsts, lasts = carry
-        h, nx = cells.shape[1], cells.shape[2]
-        by, row, in_kernel = self._geometry(h, nx)
-        if in_kernel:
-            accel = AccelSpec.rows(self.params, h)
-        else:
-            accel = None
-            cells = accelerate_flow(
-                cells, obstacles, self.params.accel_w1, self.params.accel_w2
-            )
-            if row % by == 0:
-                firsts = firsts.at[row // by, :Q].set(cells[:, row, :])
-            if row % by == by - 1:
-                lasts = lasts.at[row // by, :Q].set(cells[:, row, :])
-        # Periodic y: block b's south neighbour row is block b-1's last
-        # row (block -1 wraps to the top), and vice versa.
-        prevs = jnp.roll(lasts, 1, axis=0)
-        nexts = jnp.roll(firsts, -1, axis=0)
-        new, f2, l2, tot = _pallas_step(
-            cells, prevs, nexts, obstacles.astype(jnp.int8),
-            omega_f=self.omega, interpret=_interpret(), accel=accel,
-        )
-        return (new, f2, l2), tot
-
-    def final(self, carry):
-        return carry[0]
-
-
 def transpose_state(cells):
     """Physical (9, ny, nx) <-> transposed (9, nx, ny): swap the spatial
     axes and permute speeds by SIGMA (x and y velocity components swap).
@@ -492,46 +471,145 @@ def transpose_state(cells):
     return jnp.stack([cells[SIGMA[k]].T for k in range(Q)])
 
 
-class TransposedCarryStep:
-    """CarryStep on the transposed lattice — for wide grids (nx >> ny)
-    the long dimension moves onto sublanes, where the blocked row
-    machinery runs at full rate; the 6 periodic-x lane rotates then act
-    on the short dimension. Acceleration (physical row ny-2) becomes a
-    lane-masked in-kernel update of column ny-2."""
+class CarryStep:
+    """Single-chip step implementation carrying the lattice plus per-block
+    edge-row arrays; the kernel ring-indexes neighbour rows directly from
+    the edge arrays (periodic y), and in paired mode two aliased kernel
+    calls per loop iteration keep every while-carry slot on a fixed
+    buffer so XLA never inserts carry copies (docs/PERF.md).
+    Acceleration runs inside the kernel when the forced row is
+    block-interior (always true for the ny-2 row with 8-row blocks);
+    otherwise it falls back to the XLA row update (unpaired)."""
 
-    def __init__(self, params: Params):
+    def __init__(self, params: Params, paired: bool = True):
         self.params = params
         self.omega = float(params.omega)
+        self._h, self._nx = self._shape(params)
+        by = _pick_block_rows(self._h, self._nx)
+        row = self._h - 2
+        self._by = by
+        self._in_kernel = by >= 3 and row % by not in (0, by - 1)
+        self.steps_per_call = 2 if (paired and self._in_kernel) else 1
 
-    def init(self, cells, obstacles):
-        cells_t = transpose_state(cells)  # (9, nx, ny)
-        obs_t = obstacles.T
-        by = _pick_block_rows(cells_t.shape[1], cells_t.shape[2])
-        firsts, lasts = gather_edge_rows(cells_t, obs_t, by)
-        return (cells_t, obs_t, firsts, lasts)
+    @staticmethod
+    def _shape(params):
+        return params.ny, params.nx
 
-    def step(self, carry, obstacles):
-        cells_t, obs_t, firsts, lasts = carry
-        ny_phys = cells_t.shape[2]
-        accel = AccelSpec.lanes(self.params, ny_phys)
-        prevs = jnp.roll(lasts, 1, axis=0)
-        nexts = jnp.roll(firsts, -1, axis=0)
-        new, f2, l2, tot = _pallas_step(
-            cells_t, prevs, nexts, obs_t.astype(jnp.int8),
+    def _accel_spec(self):
+        return AccelSpec.rows(self.params, self._h)
+
+    def _transform_in(self, cells):
+        return cells
+
+    def _transform_out(self, cells):
+        return cells
+
+    def _obs_transform(self, obstacles):
+        return obstacles
+
+    def prepare(self, obstacles):
+        """Loop-invariant obstacle forms, computed once outside the loop
+        (anything recomputed per step or carried instead costs a pass or
+        a while-carry copy)."""
+        obs = self._obs_transform(obstacles)
+        return (obs, obs.astype(jnp.int8))
+
+    def init(self, cells, prepared):
+        obstacles, _ = prepared
+        cells = self._transform_in(cells)
+        firsts, lasts = gather_edge_rows(cells, obstacles, self._by)
+        if self.steps_per_call == 2:
+            return (
+                cells, jnp.zeros_like(cells),
+                firsts, lasts, jnp.zeros_like(firsts), jnp.zeros_like(lasts),
+            )
+        return (cells, firsts, lasts)
+
+    def _single(self, cells, firsts, lasts, obs_i8, accel):
+        return _pallas_step(
+            cells, lasts, firsts, obs_i8,
             omega_f=self.omega, interpret=_interpret(), accel=accel,
+            ring=True,
         )
-        return (new, obs_t, f2, l2), tot
+
+    def step(self, carry, prepared):
+        obstacles, obs_i8 = prepared
+        if self.steps_per_call == 2:
+            cells_a, cells_b, fa, la, fb, lb = carry
+            accel = self._accel_spec()
+            new1, f1, l1, t1 = _pallas_step(
+                cells_a, la, fa, obs_i8,
+                omega_f=self.omega, interpret=_interpret(), accel=accel,
+                ring=True, dst=(cells_b, fb, lb),
+            )
+            new2, f2, l2, t2 = _pallas_step(
+                new1, l1, f1, obs_i8,
+                omega_f=self.omega, interpret=_interpret(), accel=accel,
+                ring=True, dst=(cells_a, fa, la),
+            )
+            return (new2, new1, f2, l2, f1, l1), jnp.stack([t1, t2])
+
+        cells, firsts, lasts = carry
+        if self._in_kernel:
+            new, f2, l2, tot = self._single(
+                cells, firsts, lasts, obs_i8, self._accel_spec()
+            )
+        else:
+            # Fallback: XLA row update + edge-array mirror when the forced
+            # row is a block edge (the reference's buffer flags,
+            # d2q9-bgk.c:244-245).
+            row, by = self._h - 2, self._by
+            cells = accelerate_flow(
+                cells, obstacles, self.params.accel_w1, self.params.accel_w2
+            )
+            if row % by == 0:
+                firsts = firsts.at[row // by, :Q].set(cells[:, row, :])
+            if row % by == by - 1:
+                lasts = lasts.at[row // by, :Q].set(cells[:, row, :])
+            new, f2, l2, tot = self._single(cells, firsts, lasts, obs_i8, None)
+        return (new, f2, l2), tot[None]
 
     def final(self, carry):
-        return transpose_state(carry[0])
+        return self._transform_out(carry[0])
 
 
-def make_carry_step(params: Params, ny: int, nx: int):
+class TransposedCarryStep(CarryStep):
+    """CarryStep on the transposed lattice — for wide grids (nx >> ny)
+    the long dimension moves onto sublanes, where the blocked row
+    machinery runs at full rate. Speeds permute by SIGMA under the x/y
+    swap; acceleration (physical row ny-2) becomes a lane-masked
+    in-kernel update of column ny-2 (always in-kernel, so pairing is
+    always available)."""
+
+    @staticmethod
+    def _shape(params):
+        return params.nx, params.ny
+
+    def _accel_spec(self):
+        return AccelSpec.lanes(self.params, self._nx)
+
+    def _transform_in(self, cells):
+        return transpose_state(cells)
+
+    def _transform_out(self, cells_t):
+        return transpose_state(cells_t)
+
+    def _obs_transform(self, obstacles):
+        return obstacles.T
+
+    def __init__(self, params: Params, paired: bool = True):
+        super().__init__(params, paired=paired)
+        # Lane-masked acceleration is always in-kernel in this layout.
+        self._in_kernel = True
+        self.steps_per_call = 2 if paired else 1
+
+
+def make_carry_step(params: Params, ny: int, nx: int, paired: bool = True):
     """Pick the execution layout: transposed when the grid is much wider
     than tall (and tall enough transposed to block well)."""
     if nx >= 2 * ny and nx % 8 == 0:
-        return TransposedCarryStep(params)
-    return CarryStep(params)
+        return TransposedCarryStep(params, paired=paired)
+    return CarryStep(params, paired=paired)
 
 
 def make_fused_step(params: Params):

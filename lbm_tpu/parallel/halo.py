@@ -74,6 +74,11 @@ class _ReferenceShardImpl:
         self.params = params
         self.decomp = decomp
 
+    steps_per_call = 1
+
+    def prepare(self, obstacles):
+        return obstacles
+
     def init(self, cells, obstacles):
         return cells
 
@@ -89,7 +94,7 @@ class _ReferenceShardImpl:
         new, tot = ref_ops.collide_stream_halo(
             cells, south, north, obstacles, p.omega
         )
-        return new, tot
+        return new, tot[None]
 
     def final(self, cells):
         return cells
@@ -102,6 +107,8 @@ class _PallasShardImpl:
     those QP-padded entries directly and the kernel never re-gathers from
     the tiled lattice."""
 
+    steps_per_call = 1
+
     def __init__(self, params: Params, decomp: RowDecomposition):
         from lbm_tpu.ops import pallas_fused as pf
 
@@ -109,7 +116,13 @@ class _PallasShardImpl:
         self.params = params
         self.decomp = decomp
 
-    def init(self, cells, obstacles):
+    def prepare(self, obstacles):
+        import jax.numpy as jnp
+
+        return (obstacles, obstacles.astype(jnp.int8))
+
+    def init(self, cells, prepared):
+        obstacles, _ = prepared
         by = self.pf._pick_block_rows(cells.shape[1], cells.shape[2])
         firsts, lasts = self.pf.gather_edge_rows(cells, obstacles, by)
         return (cells, firsts, lasts)
@@ -148,9 +161,10 @@ class _PallasShardImpl:
         lasts = mirror(lasts, r == np.int32(by - 1))
         return cells, firsts, lasts
 
-    def step(self, carry, obstacles):
+    def step(self, carry, prepared):
         import jax.numpy as jnp
 
+        obstacles, obs_i8 = prepared
         cells, firsts, lasts = carry
         n = self.decomp.n_shards
         cells, firsts, lasts = self._accel(cells, firsts, lasts, obstacles)
@@ -164,11 +178,11 @@ class _PallasShardImpl:
             prevs = jnp.concatenate([south_e, lasts[:-1]], axis=0)
             nexts = jnp.concatenate([firsts[1:], north_e], axis=0)
         new, f2, l2, tot = self.pf._pallas_step(
-            cells, prevs, nexts, obstacles.astype(jnp.int8),
+            cells, prevs, nexts, obs_i8,
             omega_f=float(self.params.omega),
             interpret=self.pf._interpret(), accel=None,
         )
-        return (new, f2, l2), tot
+        return (new, f2, l2), tot[None]
 
     def final(self, carry):
         return carry[0]
@@ -201,15 +215,16 @@ def make_sharded_simulate(
 
     def local_sim(cells, obstacles, inv_fluid):
         av_partial = jnp.zeros((iters,), dtype=cells.dtype)
+        prepared = impl.prepare(obstacles)  # loop-invariant
 
         def body(tt, loop_carry):
             carry, av = loop_carry
-            carry, tot_u = impl.step(carry, obstacles)
-            av = av.at[tt].set(tot_u * inv_fluid)
+            carry, tots = impl.step(carry, prepared)
+            av = lax.dynamic_update_slice(av, tots * inv_fluid, (tt,))
             return carry, av
 
         carry, av_partial = lax.fori_loop(
-            0, iters, body, (impl.init(cells, obstacles), av_partial)
+            0, iters, body, (impl.init(cells, prepared), av_partial)
         )
         # One reduction for the whole trajectory, not one per step — the
         # reference's single end-of-run MPI_Reduce (d2q9-bgk.c:445).
@@ -246,15 +261,16 @@ def make_sharded_chunk(
 
     def local_chunk(cells, obstacles, inv_fluid, av, t0):
         av_partial = jnp.zeros((chunk_iters,), dtype=cells.dtype)
+        prepared = impl.prepare(obstacles)  # loop-invariant
 
         def body(i, loop_carry):
             carry, avp = loop_carry
-            carry, tot_u = impl.step(carry, obstacles)
-            avp = avp.at[i].set(tot_u * inv_fluid)
+            carry, tots = impl.step(carry, prepared)
+            avp = lax.dynamic_update_slice(avp, tots * inv_fluid, (i,))
             return carry, avp
 
         carry, av_partial = lax.fori_loop(
-            0, chunk_iters, body, (impl.init(cells, obstacles), av_partial)
+            0, chunk_iters, body, (impl.init(cells, prepared), av_partial)
         )
         av = lax.dynamic_update_slice(av, lax.psum(av_partial, AXIS), (t0,))
         return impl.final(carry), av

@@ -42,25 +42,33 @@ class SimulationResult:
 
 
 class _SimpleImpl:
-    """Carry = the lattice itself (jnp reference path)."""
+    """Carry = the lattice itself (jnp reference path). Step impls return
+    per-call tot_u vectors of shape (steps_per_call,)."""
+
+    steps_per_call = 1
 
     def __init__(self, step):
         self._step = step
 
-    def init(self, cells, obstacles):
+    def prepare(self, obstacles):
+        return obstacles
+
+    def init(self, cells, prepared):
         return cells
 
-    def step(self, carry, obs):
-        return self._step(carry, obs)
+    def step(self, carry, prepared):
+        carry, tot = self._step(carry, prepared)
+        return carry, tot[None]
 
     def final(self, carry):
         return carry
 
 
-def _select_impl(kernel: str, params: Params):
-    """Resolve a step implementation with init/step/final over an opaque
-    carry (the Pallas path carries per-block edge-row arrays alongside
-    the lattice)."""
+def _select_impl(kernel: str, params: Params, paired: bool = True):
+    """Resolve a step implementation with prepare/init/step/final over an
+    opaque carry (the Pallas path carries per-block edge-row arrays and,
+    in paired mode, ping-pong lattice buffers alongside the lattice).
+    ``paired`` requires the caller to run an even number of steps."""
     w1, w2, omega = params.accel_w1, params.accel_w2, params.omega
     if kernel == "auto":
         if jax.default_backend() == "tpu" and params.dtype == np.float32:
@@ -84,17 +92,21 @@ def _select_impl(kernel: str, params: Params):
     if kernel == "pallas":
         from lbm_tpu.ops import pallas_fused
 
-        return pallas_fused.make_carry_step(params, params.ny, params.nx)
+        return pallas_fused.make_carry_step(
+            params, params.ny, params.nx, paired=paired
+        )
     raise ValueError(f"unknown kernel {kernel!r}")
 
 
 def _select_step(kernel: str, params: Params):
-    """Back-compat: a plain ``(cells, obstacles) -> (cells, tot_u)``."""
-    impl = _select_impl(kernel, params)
+    """Back-compat: a plain ``(cells, obstacles) -> (cells, tot_u)``
+    (single-step, used by the debug path)."""
+    impl = _select_impl(kernel, params, paired=False)
 
     def step(cells, obs):
-        carry, tot = impl.step(impl.init(cells, obs), obs)
-        return impl.final(carry), tot
+        prepared = impl.prepare(obs)
+        carry, tots = impl.step(impl.init(cells, prepared), prepared)
+        return impl.final(carry), tots[0]
 
     return step
 
@@ -104,24 +116,29 @@ def make_simulate(params: Params, kernel: str = "auto", n_iters: int | None = No
     ``(cells0, obstacles, inv_fluid) -> (final_cells, av_vels)``.
     """
     iters = params.max_iters if n_iters is None else n_iters
-    impl = _select_impl(kernel, params)
+    impl = _select_impl(kernel, params, paired=iters % 2 == 0)
+    spc = impl.steps_per_call
+    assert iters % spc == 0
     av_dtype = params.dtype
 
     @partial(jax.jit, donate_argnums=(0,))
     def simulate(cells, obstacles, inv_fluid):
         av_vels = jnp.zeros((iters,), dtype=av_dtype)
+        prepared = impl.prepare(obstacles)  # loop-invariant
 
-        def body(tt, loop_carry):
+        def body(i, loop_carry):
             carry, av_vels = loop_carry
-            carry, tot_u = impl.step(carry, obstacles)
+            carry, tots = impl.step(carry, prepared)
             # Per-step scaling by 1/num_fluid_cells is algebraically the
             # reference's end-of-run scaling of the reduced sums
             # (d2q9-bgk.c:445-446).
-            av_vels = av_vels.at[tt].set(tot_u * inv_fluid)
+            av_vels = lax.dynamic_update_slice(
+                av_vels, tots * inv_fluid, (i * spc,)
+            )
             return carry, av_vels
 
         carry, av_vels = lax.fori_loop(
-            0, iters, body, (impl.init(cells, obstacles), av_vels)
+            0, iters // spc, body, (impl.init(cells, prepared), av_vels)
         )
         return impl.final(carry), av_vels
 
@@ -131,20 +148,24 @@ def make_simulate(params: Params, kernel: str = "auto", n_iters: int | None = No
 def make_chunk(params: Params, kernel: str, chunk_iters: int):
     """Jitted chunk runner ``(cells, obstacles, inv, av, t0) -> (cells, av)``
     executing ``chunk_iters`` steps that write av_vels[t0:t0+chunk_iters]."""
-    impl = _select_impl(kernel, params)
+    impl = _select_impl(kernel, params, paired=chunk_iters % 2 == 0)
+    spc = impl.steps_per_call
+    assert chunk_iters % spc == 0
 
     @partial(jax.jit, donate_argnums=(0, 3))
     def run_chunk(cells, obstacles, inv_fluid, av_vels, t0):
+        prepared = impl.prepare(obstacles)  # loop-invariant
+
         def body(i, loop_carry):
             carry, av_vels = loop_carry
-            carry, tot_u = impl.step(carry, obstacles)
+            carry, tots = impl.step(carry, prepared)
             av_vels = lax.dynamic_update_slice(
-                av_vels, (tot_u * inv_fluid)[None], (t0 + i,)
+                av_vels, tots * inv_fluid, (t0 + i * spc,)
             )
             return carry, av_vels
 
         carry, av_vels = lax.fori_loop(
-            0, chunk_iters, body, (impl.init(cells, obstacles), av_vels)
+            0, chunk_iters // spc, body, (impl.init(cells, prepared), av_vels)
         )
         return impl.final(carry), av_vels
 
