@@ -117,8 +117,6 @@ class _PallasShardImpl:
         self.decomp = decomp
 
     def prepare(self, obstacles):
-        import jax.numpy as jnp
-
         return (obstacles, obstacles.astype(jnp.int8))
 
     def init(self, cells, prepared):
@@ -131,8 +129,6 @@ class _PallasShardImpl:
         """Owner-shard acceleration with the edge-array mirror for the
         (rare) geometries where the forced row is a block edge — the
         reference's buffer_up/down flags (d2q9-bgk.c:244-245,499-500)."""
-        import jax.numpy as jnp
-
         p, d, pf = self.params, self.decomp, self.pf
         h, nx = cells.shape[1], cells.shape[2]
         by = pf._pick_block_rows(h, nx)
@@ -162,8 +158,6 @@ class _PallasShardImpl:
         return cells, firsts, lasts
 
     def step(self, carry, prepared):
-        import jax.numpy as jnp
-
         obstacles, obs_i8 = prepared
         cells, firsts, lasts = carry
         n = self.decomp.n_shards

@@ -111,49 +111,16 @@ def _select_step(kernel: str, params: Params):
     return step
 
 
-def make_simulate(params: Params, kernel: str = "auto", n_iters: int | None = None):
-    """Build the jitted whole-simulation function
-    ``(cells0, obstacles, inv_fluid) -> (final_cells, av_vels)``.
-    """
-    iters = params.max_iters if n_iters is None else n_iters
-    impl = _select_impl(kernel, params, paired=iters % 2 == 0)
+def _loop_core(impl, n_steps):
+    """Shared stepping loop: ``(cells, obstacles, inv, av, t0) ->
+    (final_cells, av)`` running ``n_steps`` steps that write
+    av_vels[t0:t0+n_steps]. Per-step scaling by 1/num_fluid_cells is
+    algebraically the reference's end-of-run scaling of the reduced sums
+    (d2q9-bgk.c:445-446)."""
     spc = impl.steps_per_call
-    assert iters % spc == 0
-    av_dtype = params.dtype
+    assert n_steps % spc == 0
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def simulate(cells, obstacles, inv_fluid):
-        av_vels = jnp.zeros((iters,), dtype=av_dtype)
-        prepared = impl.prepare(obstacles)  # loop-invariant
-
-        def body(i, loop_carry):
-            carry, av_vels = loop_carry
-            carry, tots = impl.step(carry, prepared)
-            # Per-step scaling by 1/num_fluid_cells is algebraically the
-            # reference's end-of-run scaling of the reduced sums
-            # (d2q9-bgk.c:445-446).
-            av_vels = lax.dynamic_update_slice(
-                av_vels, tots * inv_fluid, (i * spc,)
-            )
-            return carry, av_vels
-
-        carry, av_vels = lax.fori_loop(
-            0, iters // spc, body, (impl.init(cells, prepared), av_vels)
-        )
-        return impl.final(carry), av_vels
-
-    return simulate
-
-
-def make_chunk(params: Params, kernel: str, chunk_iters: int):
-    """Jitted chunk runner ``(cells, obstacles, inv, av, t0) -> (cells, av)``
-    executing ``chunk_iters`` steps that write av_vels[t0:t0+chunk_iters]."""
-    impl = _select_impl(kernel, params, paired=chunk_iters % 2 == 0)
-    spc = impl.steps_per_call
-    assert chunk_iters % spc == 0
-
-    @partial(jax.jit, donate_argnums=(0, 3))
-    def run_chunk(cells, obstacles, inv_fluid, av_vels, t0):
+    def core(cells, obstacles, inv_fluid, av_vels, t0):
         prepared = impl.prepare(obstacles)  # loop-invariant
 
         def body(i, loop_carry):
@@ -165,11 +132,36 @@ def make_chunk(params: Params, kernel: str, chunk_iters: int):
             return carry, av_vels
 
         carry, av_vels = lax.fori_loop(
-            0, chunk_iters // spc, body, (impl.init(cells, prepared), av_vels)
+            0, n_steps // spc, body, (impl.init(cells, prepared), av_vels)
         )
         return impl.final(carry), av_vels
 
-    return run_chunk
+    return core
+
+
+def make_simulate(params: Params, kernel: str = "auto", n_iters: int | None = None):
+    """Build the jitted whole-simulation function
+    ``(cells0, obstacles, inv_fluid) -> (final_cells, av_vels)``.
+    """
+    iters = params.max_iters if n_iters is None else n_iters
+    impl = _select_impl(kernel, params, paired=iters % 2 == 0)
+    core = _loop_core(impl, iters)
+    av_dtype = params.dtype
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def simulate(cells, obstacles, inv_fluid):
+        av_vels = jnp.zeros((iters,), dtype=av_dtype)
+        return core(cells, obstacles, inv_fluid, av_vels, 0)
+
+    return simulate
+
+
+def make_chunk(params: Params, kernel: str, chunk_iters: int):
+    """Jitted chunk runner ``(cells, obstacles, inv, av, t0) -> (cells, av)``
+    executing ``chunk_iters`` steps that write av_vels[t0:t0+chunk_iters]."""
+    impl = _select_impl(kernel, params, paired=chunk_iters % 2 == 0)
+    core = _loop_core(impl, chunk_iters)
+    return jax.jit(core, donate_argnums=(0, 3))
 
 
 def _fence(small_output) -> None:
