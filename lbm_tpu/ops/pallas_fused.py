@@ -68,6 +68,7 @@ Q = D2Q9.Q
 # Channel OBS_CH carries the row's obstacle flags.
 QP = 16
 OBS_CH = Q  # == 9
+ACC_CH = Q + 1  # == 10: accel-line flag (sharded dynamic forcing)
 # Speed permutation under lattice transpose (x and y velocity components
 # swap): transposed-space speed k stores physical speed SIGMA[k].
 SIGMA = (0, 2, 1, 4, 3, 5, 8, 7, 6)
@@ -174,7 +175,10 @@ def _kernel(
     accel: AccelSpec | None,
     ring: bool = False,
     has_dst: bool = False,
+    dynamic_accel: bool = False,
 ):
+    rest = list(rest)
+    accmask_ref = rest.pop(0) if dynamic_accel else None
     if has_dst:
         # Donor refs for input_output_aliases — memory only, never read.
         (_dc, _df, _dl, out_ref, firsts_ref, lasts_ref, tot_ref,
@@ -243,7 +247,21 @@ def _kernel(
     prev_row = [prev_scr[slot, k] for k in range(Q)]
     next_row = [next_scr[slot, k] for k in range(Q)]
 
-    if accel is not None:
+    if accel is not None and dynamic_accel:
+        # Sharded SPMD forcing: the owning line is dynamic per shard, so
+        # the body's line indicator arrives as an i8 mask input and halo
+        # copies carry theirs in edge-array channel ACC_CH.
+        fluid_body = np.float32(1.0) - obstacles.astype(jnp.float32)
+        line_f = (accmask_ref[:] != 0).astype(jnp.float32)
+        ok = _accel_ok(body, fluid_body, accel, line_f)
+        body = _accelerated(body, ok, accel)
+        fluid_p = np.float32(1.0) - prev_scr[slot, OBS_CH]
+        ok_p = _accel_ok(prev_row, fluid_p, accel, prev_scr[slot, ACC_CH])
+        prev_row = _accelerated(prev_row, ok_p, accel)
+        fluid_n = np.float32(1.0) - next_scr[slot, OBS_CH]
+        ok_n = _accel_ok(next_row, fluid_n, accel, next_scr[slot, ACC_CH])
+        next_row = _accelerated(next_row, ok_n, accel)
+    elif accel is not None:
         fluid_body = np.float32(1.0) - obstacles.astype(jnp.float32)
         if accel.axis == 0:
             # Forced row: by construction it is never a block-edge row
@@ -301,13 +319,18 @@ def _kernel(
     # Edge rows exported per block (with their obstacle flags in channel
     # OBS_CH) so the next step's neighbour-row arrays are a cheap
     # leading-axis roll instead of a strided gather from the tiled lattice.
-    zeros_tail = jnp.zeros((QP - Q - 1, nx), jnp.float32)
+    zeros_tail = jnp.zeros((QP - Q - 2, nx), jnp.float32)
     obs_f = obs_ref[:].astype(jnp.float32)
+    if dynamic_accel:
+        acc_f = (accmask_ref[:] != 0).astype(jnp.float32)
+    else:
+        acc_f = jnp.zeros((by, nx), jnp.float32)
     firsts_ref[0] = jnp.concatenate(
-        [new[:, 0, :], obs_f[0:1, :], zeros_tail], axis=0
+        [new[:, 0, :], obs_f[0:1, :], acc_f[0:1, :], zeros_tail], axis=0
     )
     lasts_ref[0] = jnp.concatenate(
-        [new[:, by - 1, :], obs_f[by - 1 : by, :], zeros_tail], axis=0
+        [new[:, by - 1, :], obs_f[by - 1 : by, :],
+         acc_f[by - 1 : by, :], zeros_tail], axis=0
     )
 
     @pl.when(i == 0)
@@ -319,29 +342,39 @@ def _kernel(
         tot_ref[0, 0] = tot_ref[0, 0] + tot_u
 
 
-def gather_edge_rows(interior, obstacles, by):
+def gather_edge_rows(interior, obstacles, by, accel_mask=None):
     """One-time construction of the per-block edge-row arrays
     ``(firsts, lasts)`` of shape (n_blocks, QP, nx): rows b*by and
     b*by+by-1 of each block, with channel OBS_CH carrying the row's
-    obstacle flags. The block index leads on an untiled axis so kernel
-    DMAs never slice the tiled row dimension."""
+    obstacle flags (and ACC_CH its accel-line flags when given). The
+    block index leads on an untiled axis so kernel DMAs never slice the
+    tiled row dimension."""
     obs_f = obstacles.astype(jnp.float32)
+    acc_f = (
+        accel_mask.astype(jnp.float32)
+        if accel_mask is not None
+        else jnp.zeros_like(obs_f)
+    )
 
-    def build(rows, obs_rows):
+    def build(rows, obs_rows, acc_rows):
         base = rows.transpose(1, 0, 2)  # (n_blocks, 9, nx)
-        obs_c = obs_rows[:, None, :]  # (n_blocks, 1, nx)
         tail = jnp.zeros(
-            (base.shape[0], QP - Q - 1, base.shape[2]), jnp.float32
+            (base.shape[0], QP - Q - 2, base.shape[2]), jnp.float32
         )
-        return jnp.concatenate([base, obs_c, tail], axis=1)
+        return jnp.concatenate(
+            [base, obs_rows[:, None, :], acc_rows[:, None, :], tail], axis=1
+        )
 
-    lasts = build(interior[:, by - 1 :: by, :], obs_f[by - 1 :: by, :])
-    firsts = build(interior[:, ::by, :], obs_f[::by, :])
+    lasts = build(
+        interior[:, by - 1 :: by, :], obs_f[by - 1 :: by, :],
+        acc_f[by - 1 :: by, :],
+    )
+    firsts = build(interior[:, ::by, :], obs_f[::by, :], acc_f[::by, :])
     return firsts, lasts
 
 
 def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret,
-                 accel=None, ring=False, dst=None):
+                 accel=None, ring=False, dst=None, accel_mask=None):
     """One fused step. Returns ``(new, firsts, lasts, tot)`` where
     firsts/lasts are the NEW state's per-block edge rows.
 
@@ -362,7 +395,7 @@ def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret,
 
     kernel = functools.partial(
         _kernel, by=by, omega=omega, accel=accel, ring=ring,
-        has_dst=dst is not None,
+        has_dst=dst is not None, dynamic_accel=accel_mask is not None,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -371,11 +404,17 @@ def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret,
         pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     operands = [interior, prevs, nexts, obs_i8]
+    if accel_mask is not None:
+        in_specs.append(
+            pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(accel_mask)
     aliases = {}
     if dst is not None:
+        base = len(operands)
         in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3
         operands += list(dst)
-        aliases = {4: 0, 5: 1, 6: 2}
+        aliases = {base: 0, base + 1: 1, base + 2: 2}
     new, firsts, lasts, tot = pl.pallas_call(
         kernel,
         grid=(n_blocks,),

@@ -105,86 +105,91 @@ class _PallasShardImpl:
     (the single-chip CarryStep design): the shard's boundary rows ARE its
     first/last edge entries, so the per-step halo exchange ppermutes
     those QP-padded entries directly and the kernel never re-gathers from
-    the tiled lattice."""
+    the tiled lattice. Acceleration runs in-kernel in dynamic mode: the
+    owner shard's forced-row mask is an i8 input built once per run from
+    axis_index, and halo copies carry their accel flag in edge-array
+    channel ACC_CH — the reference's rank/buffer accelerate flags
+    (d2q9-bgk.c:241-245,498-500) with zero extra per-step passes. Paired
+    stepping (aliased ping-pong buffers) keeps while-carry slots on fixed
+    lattice buffers, as in the single-chip path."""
 
-    steps_per_call = 1
-
-    def __init__(self, params: Params, decomp: RowDecomposition):
+    def __init__(self, params: Params, decomp: RowDecomposition,
+                 paired: bool = True):
         from lbm_tpu.ops import pallas_fused as pf
 
         self.pf = pf
         self.params = params
         self.decomp = decomp
+        self.steps_per_call = 2 if paired else 1
 
     def prepare(self, obstacles):
-        return (obstacles, obstacles.astype(jnp.int8))
-
-    def init(self, cells, prepared):
-        obstacles, _ = prepared
-        by = self.pf._pick_block_rows(cells.shape[1], cells.shape[2])
-        firsts, lasts = self.pf.gather_edge_rows(cells, obstacles, by)
-        return (cells, firsts, lasts)
-
-    def _accel(self, cells, firsts, lasts, obstacles):
-        """Owner-shard acceleration with the edge-array mirror for the
-        (rare) geometries where the forced row is a block edge — the
-        reference's buffer_up/down flags (d2q9-bgk.c:244-245,499-500)."""
-        p, d, pf = self.params, self.decomp, self.pf
-        h, nx = cells.shape[1], cells.shape[2]
-        by = pf._pick_block_rows(h, nx)
+        d = self.decomp
         my = lax.axis_index(AXIS)
         local_row = np.int32(d.accel_row) - my * np.int32(d.local_ny)
-        active = (local_row >= 0) & (local_row < d.local_ny)
-        cells = ref_ops.accelerate_flow_dynamic(
-            cells, obstacles, p.accel_w1, p.accel_w2, local_row, active
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (d.local_ny, obstacles.shape[1]), 0
         )
-        idx = jnp.clip(local_row, 0, h - 1)
-        b = idx // np.int32(by)
-        r = idx % np.int32(by)
-        row = lax.dynamic_slice(cells, (0, idx, 0), (9, 1, nx))[:, 0, :]
-        obs_row = lax.dynamic_slice(
-            obstacles, (idx, 0), (1, nx)
-        ).astype(jnp.float32)
-        payload = jnp.concatenate(
-            [row, obs_row, jnp.zeros((pf.QP - pf.Q - 1, nx), jnp.float32)],
-            axis=0,
-        )[None]
-        def mirror(arr, hit):
-            cur = lax.dynamic_slice(arr, (b, 0, 0), (1, pf.QP, nx))
-            upd = jnp.where(hit & active, payload, cur)
-            return lax.dynamic_update_slice(arr, upd, (b, 0, 0))
-        firsts = mirror(firsts, r == 0)
-        lasts = mirror(lasts, r == np.int32(by - 1))
-        return cells, firsts, lasts
+        accel_mask = (rows == local_row).astype(jnp.int8)
+        return (obstacles, obstacles.astype(jnp.int8), accel_mask)
 
-    def step(self, carry, prepared):
-        obstacles, obs_i8 = prepared
-        cells, firsts, lasts = carry
+    def init(self, cells, prepared):
+        obstacles, _, accel_mask = prepared
+        by = self.pf._pick_block_rows(cells.shape[1], cells.shape[2])
+        firsts, lasts = self.pf.gather_edge_rows(
+            cells, obstacles, by, accel_mask=accel_mask
+        )
+        if self.steps_per_call == 2:
+            return (
+                cells, jnp.zeros_like(cells),
+                firsts, lasts, jnp.zeros_like(firsts), jnp.zeros_like(lasts),
+            )
+        return (cells, firsts, lasts)
+
+    def _halo_edges(self, firsts, lasts):
+        """prevs/nexts for this shard: edge entries ppermuted over the
+        ring (the reference's send-down/send-up pair, d2q9-bgk.c:353-382)."""
         n = self.decomp.n_shards
-        cells, firsts, lasts = self._accel(cells, firsts, lasts, obstacles)
-        # Halo exchange of the QP-padded edge entries over the ring.
         if n == 1:
-            prevs = jnp.roll(lasts, 1, axis=0)
-            nexts = jnp.roll(firsts, -1, axis=0)
-        else:
-            south_e = lax.ppermute(lasts[-1:], AXIS, _up_perm(n))
-            north_e = lax.ppermute(firsts[:1], AXIS, _down_perm(n))
-            prevs = jnp.concatenate([south_e, lasts[:-1]], axis=0)
-            nexts = jnp.concatenate([firsts[1:], north_e], axis=0)
-        new, f2, l2, tot = self.pf._pallas_step(
+            return jnp.roll(lasts, 1, axis=0), jnp.roll(firsts, -1, axis=0)
+        south_e = lax.ppermute(lasts[-1:], AXIS, _up_perm(n))
+        north_e = lax.ppermute(firsts[:1], AXIS, _down_perm(n))
+        prevs = jnp.concatenate([south_e, lasts[:-1]], axis=0)
+        nexts = jnp.concatenate([firsts[1:], north_e], axis=0)
+        return prevs, nexts
+
+    def _call(self, cells, firsts, lasts, prepared, dst):
+        _, obs_i8, accel_mask = prepared
+        prevs, nexts = self._halo_edges(firsts, lasts)
+        return self.pf._pallas_step(
             cells, prevs, nexts, obs_i8,
             omega_f=float(self.params.omega),
-            interpret=self.pf._interpret(), accel=None,
+            interpret=self.pf._interpret(),
+            accel=self.pf.AccelSpec.rows(self.params, self.params.ny),
+            accel_mask=accel_mask, dst=dst,
         )
+
+    def step(self, carry, prepared):
+        if self.steps_per_call == 2:
+            cells_a, cells_b, fa, la, fb, lb = carry
+            new1, f1, l1, t1 = self._call(
+                cells_a, fa, la, prepared, (cells_b, fb, lb)
+            )
+            new2, f2, l2, t2 = self._call(
+                new1, f1, l1, prepared, (cells_a, fa, la)
+            )
+            return (new2, new1, f2, l2, f1, l1), jnp.stack([t1, t2])
+        cells, firsts, lasts = carry
+        new, f2, l2, tot = self._call(cells, firsts, lasts, prepared, None)
         return (new, f2, l2), tot[None]
 
     def final(self, carry):
         return carry[0]
 
 
-def _shard_impl(params: Params, decomp: RowDecomposition, kernel: str):
+def _shard_impl(params: Params, decomp: RowDecomposition, kernel: str,
+                paired: bool = True):
     if kernel == "pallas":
-        return _PallasShardImpl(params, decomp)
+        return _PallasShardImpl(params, decomp, paired=paired)
     return _ReferenceShardImpl(params, decomp)
 
 
@@ -205,20 +210,21 @@ def make_sharded_simulate(
     iters = params.max_iters if n_iters is None else n_iters
     if kernel == "auto":
         kernel = "pallas" if jax.default_backend() == "tpu" else "reference"
-    impl = _shard_impl(params, decomp, kernel)
+    impl = _shard_impl(params, decomp, kernel, paired=iters % 2 == 0)
+    spc = impl.steps_per_call
 
     def local_sim(cells, obstacles, inv_fluid):
         av_partial = jnp.zeros((iters,), dtype=cells.dtype)
         prepared = impl.prepare(obstacles)  # loop-invariant
 
-        def body(tt, loop_carry):
+        def body(i, loop_carry):
             carry, av = loop_carry
             carry, tots = impl.step(carry, prepared)
-            av = lax.dynamic_update_slice(av, tots * inv_fluid, (tt,))
+            av = lax.dynamic_update_slice(av, tots * inv_fluid, (i * spc,))
             return carry, av
 
         carry, av_partial = lax.fori_loop(
-            0, iters, body, (impl.init(cells, prepared), av_partial)
+            0, iters // spc, body, (impl.init(cells, prepared), av_partial)
         )
         # One reduction for the whole trajectory, not one per step — the
         # reference's single end-of-run MPI_Reduce (d2q9-bgk.c:445).
@@ -251,7 +257,8 @@ def make_sharded_chunk(
     decomp = RowDecomposition(ny=params.ny, n_shards=n_shards)
     if kernel == "auto":
         kernel = "pallas" if jax.default_backend() == "tpu" else "reference"
-    impl = _shard_impl(params, decomp, kernel)
+    impl = _shard_impl(params, decomp, kernel, paired=chunk_iters % 2 == 0)
+    spc = impl.steps_per_call
 
     def local_chunk(cells, obstacles, inv_fluid, av, t0):
         av_partial = jnp.zeros((chunk_iters,), dtype=cells.dtype)
@@ -260,11 +267,11 @@ def make_sharded_chunk(
         def body(i, loop_carry):
             carry, avp = loop_carry
             carry, tots = impl.step(carry, prepared)
-            avp = lax.dynamic_update_slice(avp, tots * inv_fluid, (i,))
+            avp = lax.dynamic_update_slice(avp, tots * inv_fluid, (i * spc,))
             return carry, avp
 
         carry, av_partial = lax.fori_loop(
-            0, chunk_iters, body, (impl.init(cells, prepared), av_partial)
+            0, chunk_iters // spc, body, (impl.init(cells, prepared), av_partial)
         )
         av = lax.dynamic_update_slice(av, lax.psum(av_partial, AXIS), (t0,))
         return impl.final(carry), av
