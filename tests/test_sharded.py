@@ -136,3 +136,20 @@ def test_sharded_pallas_matches_unsharded_reference():
     shard = run_simulation(p, obstacles, kernel="pallas", mesh=make_mesh(4))
     np.testing.assert_allclose(base.cells, shard.cells, rtol=2e-5, atol=5e-8)
     np.testing.assert_allclose(base.av_vels, shard.av_vels, rtol=1e-4)
+
+
+def test_sharded_pallas_obstacles_on_boundary_accel_row():
+    """Adversarial combination: the forced row is a shard-edge row AND
+    contains obstacles, so the neighbour shard must apply the guarded
+    forcing to its halo copy using the obstacle+accel flags carried in
+    the edge-entry channels."""
+    rng = np.random.default_rng(21)
+    p = small_params(ny=16, nx=64, max_iters=20)  # row 14 = top shard's row 0
+    obstacles = generate_obstacles(p.nx, p.ny)
+    extra = rng.random(p.nx) < 0.3
+    obstacles[p.ny - 2, :] |= extra  # obstacles scattered on the forced row
+    obstacles[p.ny - 2, 5] = False  # keep some fluid there
+    base = run_simulation(p, obstacles, kernel="reference")
+    shard = run_simulation(p, obstacles, kernel="pallas", mesh=make_mesh(8))
+    np.testing.assert_allclose(base.cells, shard.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, shard.av_vels, rtol=1e-4)
