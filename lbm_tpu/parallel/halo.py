@@ -186,10 +186,91 @@ class _PallasShardImpl:
         return carry[0]
 
 
+class _TransposedPallasShardImpl(_PallasShardImpl):
+    """Wide grids (nx >> ny) multi-chip: shard the TRANSPOSED lattice's
+    rows — i.e. physical x — so every shard keeps its long dimension on
+    sublanes (the fast layout) and halo exchange runs along physical x.
+    The forced line (physical row ny-2) is a lane column present in every
+    shard at a static index, so acceleration is the static lane
+    AccelSpec — no dynamic mask or halo accel flags needed."""
+
+    def prepare(self, obstacles):
+        # obstacles arrive as the local physical block (ny, local_nx).
+        obs_t = obstacles.T
+        return (obs_t, obs_t.astype(jnp.int8), None)
+
+    def init(self, cells, prepared):
+        from lbm_tpu.ops.pallas_fused import transpose_state
+
+        obs_t, _, _ = prepared
+        cells_t = transpose_state(cells)  # (9, local_nx, ny)
+        by = self.pf._pick_block_rows(cells_t.shape[1], cells_t.shape[2])
+        firsts, lasts = self.pf.gather_edge_rows(cells_t, obs_t, by)
+        if self.steps_per_call == 2:
+            return (
+                cells_t, jnp.zeros_like(cells_t),
+                firsts, lasts, jnp.zeros_like(firsts), jnp.zeros_like(lasts),
+            )
+        return (cells_t, firsts, lasts)
+
+    def _call(self, cells, firsts, lasts, prepared, dst):
+        _, obs_i8, _ = prepared
+        prevs, nexts = self._halo_edges(firsts, lasts)
+        return self.pf._pallas_step(
+            cells, prevs, nexts, obs_i8,
+            omega_f=float(self.params.omega),
+            interpret=self.pf._interpret(),
+            accel=self.pf.AccelSpec.lanes(self.params, self.params.ny),
+            dst=dst,
+        )
+
+    def final(self, carry):
+        from lbm_tpu.ops.pallas_fused import transpose_state
+
+        return transpose_state(carry[0])
+
+
+def _resolve_kernel(kernel: str) -> str:
+    if kernel == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "reference"
+    return kernel
+
+
+def plan_sharding(params: Params, mesh: Mesh, kernel: str):
+    """Decide the decomposition axis and shard_map specs.
+
+    Standard: rows (physical y) — the reference's decomposition. Wide
+    pallas grids shard physical x instead (the transposed lattice's rows)
+    so each shard's long dimension stays on sublanes.
+    Returns (transposed, decomp, cells_spec, obstacles_spec)."""
+    n = mesh.shape[AXIS]
+    kernel = _resolve_kernel(kernel)
+    transposed = (
+        kernel == "pallas"
+        and params.nx >= 2 * params.ny
+        and params.nx % n == 0
+        and params.nx % 8 == 0
+    )
+    if transposed:
+        return (
+            True,
+            RowDecomposition(ny=params.nx, n_shards=n),
+            P(None, None, AXIS),
+            P(None, AXIS),
+        )
+    return (
+        False,
+        RowDecomposition(ny=params.ny, n_shards=n),
+        P(None, AXIS, None),
+        P(AXIS, None),
+    )
+
+
 def _shard_impl(params: Params, decomp: RowDecomposition, kernel: str,
-                paired: bool = True):
+                paired: bool = True, transposed: bool = False):
     if kernel == "pallas":
-        return _PallasShardImpl(params, decomp, paired=paired)
+        cls = _TransposedPallasShardImpl if transposed else _PallasShardImpl
+        return cls(params, decomp, paired=paired)
     return _ReferenceShardImpl(params, decomp)
 
 
@@ -205,12 +286,11 @@ def make_sharded_simulate(
     ``cells0`` (9, ny, nx) sharded P(None, 'y', None); ``obstacles``
     (ny, nx) sharded P('y', None); ``av_vels`` comes back replicated.
     """
-    n_shards = mesh.shape[AXIS]
-    decomp = RowDecomposition(ny=params.ny, n_shards=n_shards)
     iters = params.max_iters if n_iters is None else n_iters
-    if kernel == "auto":
-        kernel = "pallas" if jax.default_backend() == "tpu" else "reference"
-    impl = _shard_impl(params, decomp, kernel, paired=iters % 2 == 0)
+    kernel = _resolve_kernel(kernel)
+    transposed, decomp, cells_spec, obs_spec = plan_sharding(params, mesh, kernel)
+    impl = _shard_impl(params, decomp, kernel, paired=iters % 2 == 0,
+                       transposed=transposed)
     spc = impl.steps_per_call
 
     def local_sim(cells, obstacles, inv_fluid):
@@ -234,8 +314,8 @@ def make_sharded_simulate(
     sharded = jax.shard_map(
         local_sim,
         mesh=mesh,
-        in_specs=(P(None, AXIS, None), P(AXIS, None), P()),
-        out_specs=(P(None, AXIS, None), P()),
+        in_specs=(cells_spec, obs_spec, P()),
+        out_specs=(cells_spec, P()),
         # vma checking can't see through pallas_call out_shapes; skip it
         # (correctness is covered by the sharded-vs-unsharded tests).
         check_vma=False,
@@ -253,11 +333,10 @@ def make_sharded_chunk(
     ``(cells, obstacles, inv, av, t0) -> (cells, av)`` running
     ``chunk_iters`` steps that fill av_vels[t0:t0+chunk_iters] (av passed
     replicated; the chunk's partials are psum'd once at the end)."""
-    n_shards = mesh.shape[AXIS]
-    decomp = RowDecomposition(ny=params.ny, n_shards=n_shards)
-    if kernel == "auto":
-        kernel = "pallas" if jax.default_backend() == "tpu" else "reference"
-    impl = _shard_impl(params, decomp, kernel, paired=chunk_iters % 2 == 0)
+    kernel = _resolve_kernel(kernel)
+    transposed, decomp, cells_spec, obs_spec = plan_sharding(params, mesh, kernel)
+    impl = _shard_impl(params, decomp, kernel, paired=chunk_iters % 2 == 0,
+                       transposed=transposed)
     spc = impl.steps_per_call
 
     def local_chunk(cells, obstacles, inv_fluid, av, t0):
@@ -279,18 +358,22 @@ def make_sharded_chunk(
     sharded = jax.shard_map(
         local_chunk,
         mesh=mesh,
-        in_specs=(P(None, AXIS, None), P(AXIS, None), P(), P(), P()),
-        out_specs=(P(None, AXIS, None), P()),
+        in_specs=(cells_spec, obs_spec, P(), P(), P()),
+        out_specs=(cells_spec, P()),
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0, 3))
 
 
-def shard_inputs(mesh: Mesh, cells: jnp.ndarray, obstacles: jnp.ndarray):
+def shard_inputs(mesh: Mesh, cells: jnp.ndarray, obstacles: jnp.ndarray,
+                 params: Params | None = None, kernel: str = "reference"):
     """Place the initial state and mask with the shardings the sharded
-    simulate expects."""
-    cells_s = jax.device_put(
-        cells, NamedSharding(mesh, P(None, AXIS, None))
-    )
-    obs_s = jax.device_put(obstacles, NamedSharding(mesh, P(AXIS, None)))
+    simulate expects (x-decomposed for wide pallas grids when ``params``
+    is given, the reference's row decomposition otherwise)."""
+    if params is not None:
+        _, _, cells_spec, obs_spec = plan_sharding(params, mesh, kernel)
+    else:
+        cells_spec, obs_spec = P(None, AXIS, None), P(AXIS, None)
+    cells_s = jax.device_put(cells, NamedSharding(mesh, cells_spec))
+    obs_s = jax.device_put(obstacles, NamedSharding(mesh, obs_spec))
     return cells_s, obs_s

@@ -239,7 +239,9 @@ def run_simulation(
         simulate = halo.make_sharded_simulate(
             params, mesh, kernel=kernel, n_iters=iters
         )
-        cells0, obs_dev = halo.shard_inputs(mesh, cells0, obs_dev)
+        cells0, obs_dev = halo.shard_inputs(
+            mesh, cells0, obs_dev, params=params, kernel=kernel
+        )
         compiled = simulate.lower(cells0, obs_dev, inv_fluid).compile()
         jax.block_until_ready((cells0, obs_dev))
         t1 = time.perf_counter()
@@ -254,7 +256,9 @@ def run_simulation(
         if mesh is not None:
             from lbm_tpu.parallel import halo
 
-            cells0, obs_dev = halo.shard_inputs(mesh, cells0, obs_dev)
+            cells0, obs_dev = halo.shard_inputs(
+                mesh, cells0, obs_dev, params=params, kernel=kernel
+            )
             mk = lambda n: halo.make_sharded_chunk(params, mesh, kernel, n)
         else:
             mk = lambda n: make_chunk(params, kernel, n)

@@ -153,3 +153,35 @@ def test_sharded_pallas_obstacles_on_boundary_accel_row():
     shard = run_simulation(p, obstacles, kernel="pallas", mesh=make_mesh(8))
     np.testing.assert_allclose(base.cells, shard.cells, rtol=2e-5, atol=5e-8)
     np.testing.assert_allclose(base.av_vels, shard.av_vels, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_transposed_sharding_wide_grid(n_dev):
+    """Wide grids shard the transposed lattice over physical x; the
+    trajectory must match the unsharded portable path."""
+    from lbm_tpu.parallel.halo import plan_sharding
+    from jax.sharding import PartitionSpec as P
+
+    p = small_params(ny=16, nx=128, max_iters=24)
+    mesh = make_mesh(n_dev)
+    transposed, decomp, cells_spec, obs_spec = plan_sharding(mesh=mesh, params=p, kernel="pallas")
+    assert transposed and cells_spec == P(None, None, "y")
+    assert decomp.local_ny == p.nx // n_dev  # transposed rows = physical x
+
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+    shard = run_simulation(p, obstacles, kernel="pallas", mesh=mesh)
+    np.testing.assert_allclose(base.cells, shard.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, shard.av_vels, rtol=1e-4)
+
+
+def test_transposed_sharding_with_scattered_obstacles():
+    rng = np.random.default_rng(33)
+    p = small_params(ny=16, nx=128, max_iters=20)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    obstacles |= rng.random((p.ny, p.nx)) < 0.1
+    obstacles[p.ny - 2, 7] = False
+    base = run_simulation(p, obstacles, kernel="reference")
+    shard = run_simulation(p, obstacles, kernel="pallas", mesh=make_mesh(8))
+    np.testing.assert_allclose(base.cells, shard.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, shard.av_vels, rtol=1e-4)
