@@ -70,6 +70,17 @@ write_final_state(PyObject *self, PyObject *args)
         goto done;
     }
     Py_ssize_t ny = ux.shape[0], nx = ux.shape[1];
+    {
+        const Py_buffer *views[4] = {&uy, &u, &p, &obs};
+        for (int k = 0; k < 4; k++) {
+            if (views[k]->shape[0] != ny || views[k]->shape[1] != nx) {
+                PyErr_Format(PyExc_ValueError,
+                             "all arrays must share u_x's shape (%zd, %zd)",
+                             ny, nx);
+                goto done;
+            }
+        }
+    }
 
     FILE *fp = fopen(path, "w");
     if (fp == NULL) {

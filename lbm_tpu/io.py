@@ -118,7 +118,8 @@ def write_av_vels(path: str | Path, av_vels: np.ndarray) -> None:
 @dataclasses.dataclass
 class FileDiff:
     """Diff summary for one file, matching check.py's get_diff_values
-    (check/check.py:83-99)."""
+    (check/check.py:83-99). ``tolerance`` is the max-%-diff gate the file
+    is judged against (check.py's --tolerance, default 1%)."""
 
     total: float
     max_diff: float
@@ -126,10 +127,14 @@ class FileDiff:
     max_diff_index: int
     sim_val: float
     ref_val: float
+    tolerance: float = 1.0
 
     @property
     def failed(self) -> bool:
-        return not np.isfinite(self.max_diff_pcnt)
+        return (
+            not np.isfinite(self.max_diff_pcnt)
+            or abs(self.max_diff_pcnt) > self.tolerance
+        )
 
 
 @dataclasses.dataclass
@@ -140,10 +145,7 @@ class GoldenResult:
 
     @property
     def passed(self) -> bool:
-        for d in (self.av_vels, self.final_state):
-            if not np.isfinite(d.max_diff_pcnt) or abs(d.max_diff_pcnt) > self.tolerance:
-                return False
-        return True
+        return not (self.av_vels.failed or self.final_state.failed)
 
 
 def load_av_vels(path: str | Path) -> np.ndarray:
@@ -157,7 +159,7 @@ def load_final_state(path: str | Path) -> np.ndarray:
     return np.loadtxt(path, usecols=[0, 1, 5], ndmin=2)
 
 
-def _diff(ref: np.ndarray, sim: np.ndarray) -> FileDiff:
+def _diff(ref: np.ndarray, sim: np.ndarray, tolerance: float = 1.0) -> FileDiff:
     diff = ref - sim
     with np.errstate(divide="ignore", invalid="ignore"):
         diff_pcnt = 100.0 * (diff / (ref - diff))
@@ -169,6 +171,7 @@ def _diff(ref: np.ndarray, sim: np.ndarray) -> FileDiff:
         max_diff_index=idx,
         sim_val=float(sim[idx]),
         ref_val=float(ref[idx]),
+        tolerance=tolerance,
     )
 
 
@@ -186,8 +189,8 @@ def compare_golden_arrays(
     if av_ref.size != av_sim.size:
         raise ValueError("Different number of steps in av_vels files")
     return GoldenResult(
-        av_vels=_diff(av_ref, av_sim),
-        final_state=_diff(fs_ref[:, 2], fs_sim[:, 2]),
+        av_vels=_diff(av_ref, av_sim, tolerance),
+        final_state=_diff(fs_ref[:, 2], fs_sim[:, 2], tolerance),
         tolerance=tolerance,
     )
 

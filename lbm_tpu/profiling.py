@@ -10,8 +10,12 @@ rooflines (roofline/). The TPU equivalents here:
   TensorBoard / xprof);
 - :func:`roofline_report` — GLUPS, effective HBM bandwidth and FLOP/s
   for a measured run against the chip's peaks (the Advisor-roofline
-  analogue; arithmetic intensity of the fused step is ~0.53 FLOP/B like
-  the reference's MPI kernel, report_mpi/report.tex:158).
+  analogue). The fused step's arithmetic intensity under this model is
+  FLOPS_PER_CELL / BYTES_PER_CELL_F32_MASK ≈ 1.7 FLOP/B — higher than
+  the reference's 0.43–0.53 (report_mpi/report.tex:158) because TPU
+  flops count the divide/sqrt expansions, but equally far below the
+  ridge: the kernel is memory-bound on every listed chip (docs/PERF.md
+  "Cost model" uses these exact constants).
 """
 
 from __future__ import annotations
@@ -24,15 +28,18 @@ import jax
 
 # Per-cell cost model of the fused step (d2q9-bgk.c:284-335): 9 reads +
 # 9 writes of f32 distributions + the obstacle mask byte(s), ~130 flops
-# (incl. divides/sqrt expansions), 1 sqrt.
+# (incl. divides/sqrt expansions), 1 sqrt. docs/PERF.md derives its
+# roofline ceilings from the same constants (v5e: 819 GB/s / 76 B/cell
+# ≈ 10.8 GLUPS).
 BYTES_PER_CELL_F32_MASK = (9 + 9) * 4 + 4
 FLOPS_PER_CELL = 130
 
-# Peak specs per chip generation (HBM GB/s, f32 TFLOP/s on the VPU path).
+# Peak specs per chip generation: HBM GB/s and the f32-equivalent
+# TFLOP/s used by docs/PERF.md's ridge (v5e: 197e3 / 819 ≈ 240 FLOP/B).
 CHIP_PEAKS = {
-    "v5e": {"hbm_gbps": 819, "tflops_f32": 98.5},
-    "v5p": {"hbm_gbps": 2765, "tflops_f32": 229.5},
-    "v4": {"hbm_gbps": 1228, "tflops_f32": 137.5},
+    "v5e": {"hbm_gbps": 819, "tflops_f32": 197.0},
+    "v5p": {"hbm_gbps": 2765, "tflops_f32": 459.0},
+    "v4": {"hbm_gbps": 1228, "tflops_f32": 275.0},
 }
 
 
@@ -93,6 +100,9 @@ def roofline_report(
         "hbm_utilisation": gbps / peaks["hbm_gbps"],
         "flops_utilisation": gflops / (peaks["tflops_f32"] * 1e3),
         "arithmetic_intensity": FLOPS_PER_CELL / BYTES_PER_CELL_F32_MASK,
+        # Bandwidth speed-of-light for this kernel on this chip
+        # (docs/PERF.md: v5e 819/76 ≈ 10.8 GLUPS nominal).
+        "ceiling_glups": peaks["hbm_gbps"] / BYTES_PER_CELL_F32_MASK,
         "bound": "memory"
         if FLOPS_PER_CELL / BYTES_PER_CELL_F32_MASK
         < peaks["tflops_f32"] * 1e3 / peaks["hbm_gbps"]

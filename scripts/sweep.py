@@ -57,7 +57,12 @@ def run_config(grid, kernel, n_devices, iters, repeats):
 
         mesh = make_mesh(n_devices)
         simulate = make_sharded_simulate(params, mesh, kernel=kernel)
-        cells0, obs_dev = shard_inputs(mesh, cells0, obs_dev)
+        # params/kernel select the same placement plan_sharding chose
+        # (x-decomposed for wide pallas grids) so the compiled call never
+        # reshards inside the timed region.
+        cells0, obs_dev = shard_inputs(
+            mesh, cells0, obs_dev, params=params, kernel=kernel
+        )
     else:
         from lbm_tpu.runner import make_simulate
 
@@ -73,7 +78,7 @@ def run_config(grid, kernel, n_devices, iters, repeats):
         if n_devices > 1:
             from lbm_tpu.parallel.halo import shard_inputs as si
 
-            cells0, _ = si(mesh, cells0, obs_dev)
+            cells0, _ = si(mesh, cells0, obs_dev, params=params, kernel=kernel)
         jax.block_until_ready(cells0)
         t0 = time.perf_counter()
         c, a = compiled(cells0, obs_dev, inv)

@@ -139,6 +139,8 @@ def test_f64_pallas_rejected_cleanly():
     obstacles = generate_obstacles(p.nx, p.ny)
     with pytest.raises(ValueError, match="float32-only"):
         run_simulation(p64, obstacles, kernel="pallas")
-    # auto falls back to the portable kernel instead of crashing.
-    res = run_simulation(p64, obstacles, kernel="auto", n_iters=2)
-    assert res.av_vels.dtype == _np.float64
+    # In a non-x64 process an f64 run would silently compute f32 and
+    # relabel it; the runner refuses instead (the CLI enables x64 first —
+    # see test_float64.py for the real f64 trajectory check).
+    with pytest.raises(ValueError, match="x64"):
+        run_simulation(p64, obstacles, kernel="auto", n_iters=2)

@@ -25,7 +25,7 @@ def test_f64_prefix_matches_golden_exactly(tmp_path):
         "from lbm_tpu.cli import main\n"
         f"main(['{REFERENCE}/input_128x128.params',"
         f"'{REFERENCE}/obstacles_128x128.dat','--kernel','reference',"
-        f"'--precision','float64','--iters','300',"
+        f"'--precision','float64','--iters','2000',"
         f"'--av-vels-file','{av}','--final-state-file','{fs}'])\n"
     )
     res = subprocess.run(
@@ -36,6 +36,8 @@ def test_f64_prefix_matches_golden_exactly(tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     sim = np.loadtxt(av, usecols=[1])
-    ref = np.loadtxt(CHECK / "128x128.av_vels.dat", usecols=[1])[:300]
+    ref = np.loadtxt(CHECK / "128x128.av_vels.dat", usecols=[1])[:2000]
     pct = 100.0 * np.abs((ref - sim) / ref)
-    assert pct.max() < 1e-8, f"f64 should match golden near-exactly, got {pct.max():.2e}%"
+    # Measured 5.5e-11 % at step 2000 — the README's "~1e-10 % in
+    # float64 mode" claim, with 20x headroom for platform variation.
+    assert pct.max() < 1e-9, f"f64 should match golden near-exactly, got {pct.max():.2e}%"

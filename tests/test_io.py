@@ -91,3 +91,19 @@ def test_compare_golden_detects_mismatch(tmp_path):
     fs3.write_text("1 0 0.0E+00 0.0E+00 0.0E+00 1.000000000000E-02 0\n")
     with pytest.raises(ValueError, match="coordinates"):
         lio.compare_golden(av, fs3, av, fs)
+
+
+def test_filediff_failed_applies_tolerance():
+    """FileDiff.failed must gate on the tolerance, not just finiteness
+    (a 50%-off file is failed even though its %diff is finite)."""
+    from lbm_tpu.io import compare_golden_arrays
+
+    av_ref = np.array([1.0, 2.0])
+    fs = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 2.0]])
+    res = compare_golden_arrays(av_ref * 1.5, fs, av_ref, fs)
+    assert res.av_vels.failed and not res.final_state.failed
+    assert not res.passed
+    ok = compare_golden_arrays(av_ref * 1.005, fs, av_ref, fs)
+    assert not ok.av_vels.failed and ok.passed
+    loose = compare_golden_arrays(av_ref * 1.5, fs, av_ref, fs, tolerance=60.0)
+    assert not loose.av_vels.failed and loose.passed

@@ -69,3 +69,18 @@ def test_read_obstacles_native_validation(tmp_path):
     f.write_text("1 1 2\n")
     with pytest.raises(ValueError, match="blocked"):
         native.read_obstacles(str(f), 8, 4, mask)
+
+
+def test_final_state_shape_mismatch_raises(tmp_path, scene):
+    """Mismatched buffer shapes must raise, not read out of bounds."""
+    p, cells, obstacles = scene
+    u_x, u_y, u, pressure = lio.final_state_fields(p, cells, obstacles)
+    with pytest.raises(ValueError, match="shape"):
+        native.write_final_state(
+            str(tmp_path / "bad.dat"),
+            np.ascontiguousarray(u_x),
+            np.ascontiguousarray(u_y[:-1]),  # one row short
+            np.ascontiguousarray(u),
+            np.ascontiguousarray(pressure),
+            np.ascontiguousarray(obstacles.astype(np.int32)),
+        )

@@ -154,3 +154,27 @@ def test_transpose_state_involution():
     cells = jnp.asarray(rng.random((9, 16, 32), np.float32))
     back = transpose_state(transpose_state(cells))
     np.testing.assert_array_equal(np.asarray(cells), np.asarray(back))
+
+
+@pytest.mark.parametrize("ny", [12, 13])
+def test_carrystep_accel_fallback_matches_reference(ny, monkeypatch):
+    """When the forced row ny-2 lands on a block edge, CarryStep falls
+    back to the XLA row update + edge-array mirror (the reference's
+    buffer-accelerate flags, d2q9-bgk.c:241-245). Since by | h and
+    by | h-2 imply by | 2, the edge case is only reachable with
+    by <= 2 — force it by shrinking the per-slot VMEM budget."""
+    import lbm_tpu.ops.pallas_fused as pf
+    from lbm_tpu.runner import run_simulation
+
+    monkeypatch.setattr(pf, "_SLOT_BYTES", 2 * 9 * 16 * 4)  # 2-row budget
+    p = small_params(ny=ny, nx=16, max_iters=20)
+    impl = pf.make_carry_step(p, p.ny, p.nx)
+    assert type(impl) is pf.CarryStep, "nx < 2*ny must not transpose"
+    assert impl._by <= 2 and not impl._in_kernel
+    assert impl.steps_per_call == 1, "fallback cannot pair steps"
+
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas")
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)

@@ -127,3 +127,17 @@ def test_run_simulation_result_types(params_128, obstacles_128):
     assert res.av_vels.shape == (5,)
     assert np.isfinite(res.reynolds)
     assert set(res.timings) == {"init", "compute", "collate", "total"}
+
+
+def test_float64_params_without_x64_raises():
+    """Library calls with float64 params in a non-x64 process would
+    silently compute f32 and relabel it — refuse instead (ADVICE r1)."""
+    import jax
+    import pytest as _pytest
+
+    from lbm_tpu.runner import make_simulate
+
+    assert not jax.config.jax_enable_x64  # test processes never enable it
+    p = small_params(dtype=np.float64)
+    with _pytest.raises(ValueError, match="x64"):
+        make_simulate(p, kernel="reference")
