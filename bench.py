@@ -3,7 +3,13 @@
 result (6.2 GLUPS: 1024^2 x 20000 iters / 3.38 s on 112 Broadwell cores,
 report_mpi/report.tex:109-112, BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Line 1 is the headline JSON {"metric", "value", "unit", "vs_baseline"}
+(the driver parses this line). On TPU, secondary JSON lines follow for
+the reference's stress grids — 16384x1024 (the weak-scaling north-star
+shape, vs the same 6.2 GLUPS cluster rate) and 131072x128 (vs the
+reference's 4-node hybrid: 445.66 s / 20000 iters = 0.753 GLUPS,
+report_mpi/report.tex:859) — so large-state regressions are visible to
+the driver gate (VERDICT r1 #6).
 
 Measurement rules for the tunnelled TPU (docs/PERF.md): state is created
 on-device (host uploads run ~35 MB/s), the freshly compiled program gets
@@ -22,6 +28,14 @@ import time
 import numpy as np
 
 BASELINE_GLUPS = 6.2  # reference's 112-core MPI best at 1024^2
+BASELINE_GLUPS_WIDE = 0.753  # 131072x128: 4-node hybrid, 445.66 s / 20000
+
+# Stress grids (short-iteration steady-state rate): the reference's
+# hardest cases, where >=600 MB states used to run at ~half rate.
+STRESS_GRIDS = [
+    ("GLUPS_16384x1024", 16384, 1024, 2000, BASELINE_GLUPS),
+    ("GLUPS_131072x128", 131072, 128, 2000, BASELINE_GLUPS_WIDE),
+]
 
 
 def bench(nx: int = 1024, ny: int = 1024, iters: int = 10000,
@@ -111,7 +125,27 @@ def main() -> int:
         "value": round(glups, 4),
         "unit": "GLUPS",
         "vs_baseline": round(glups / BASELINE_GLUPS, 4),
-    }))
+    }), flush=True)
+
+    # Secondary lines: stress grids (driver parses line 1 only).
+    import jax
+
+    if jax.default_backend() != "cpu":
+        for metric, nx, ny, iters, base in STRESS_GRIDS:
+            try:
+                g, _ = bench(nx=nx, ny=ny, iters=iters, kernel=kernel,
+                             repeats=2)
+                print(json.dumps({
+                    "metric": metric,
+                    "value": round(g, 4),
+                    "unit": "GLUPS",
+                    "vs_baseline": round(g / base, 4),
+                }), flush=True)
+            except Exception as exc:  # keep the headline line valid
+                print(json.dumps({
+                    "metric": metric,
+                    "error": f"{type(exc).__name__}: {exc}"[:300],
+                }), flush=True)
     return 0
 
 
