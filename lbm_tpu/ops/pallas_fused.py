@@ -457,6 +457,349 @@ def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret,
     return new, firsts, lasts, tot[0, 0]
 
 
+# ---------------------------------------------------------------------------
+# Fused two-step kernel (temporal blocking)
+# ---------------------------------------------------------------------------
+#
+# Large states (>= ~600 MB) are honestly HBM-bound: the 1-step kernel
+# measured ~8.8 GLUPS at 16384x1024 across every block size = ~640 GB/s
+# effective, 78% of the v5e's nominal 819 GB/s (docs/PERF.md). The only
+# way past that wall is to advance TWO timesteps per HBM pass: read the
+# lattice once, step twice in VMEM, write once — halving per-step
+# traffic (the classic temporal-blocking stencil transform; the
+# reference's version of this ceiling is report_mpi/report.tex:158).
+#
+# Per block the pass needs state-t rows [s-2, s+by+2), so edge arrays
+# carry TWO rows per block side (QP2 channels: row A = the outermost
+# row, speeds 0-8 + obs flags in ch 9; row B = second row in, speeds
+# 16-24 + obs in ch 25). Step 1 computes the by interior rows plus the
+# two boundary rows s-1 and s+by (redundantly recomputed by the
+# neighbouring blocks — ~2/by extra compute, free under a memory-bound
+# roof); step 2 consumes them in registers. tot_u for step 1 counts
+# only the block's owned rows, so the union over blocks is exact.
+# Acceleration applies to every state-t copy (body + 4 halo rows) and
+# every step-1 output (interior + 2 boundary rows) with static
+# owner-block factors, so ANY forced-row position is in-kernel — the
+# 1-step kernel's block-edge fallback is structurally unnecessary here.
+
+QP2 = 32
+OBS_CH_A = Q  # 9: obstacle flags of edge row A (outermost)
+ROW_B = 16  # channel base of edge row B (second row in)
+OBS_CH_B = ROW_B + Q  # 25
+
+
+def gather_edge_rows2(interior, obstacles, by):
+    """Per-block double edge rows ``(firsts2, lasts2)`` of shape
+    (n_blocks, QP2, nx): firsts2[b] packs rows b*by (A) and b*by+1 (B);
+    lasts2[b] packs rows b*by+by-1 (A) and b*by+by-2 (B), each with its
+    obstacle flags."""
+    obs_f = obstacles.astype(jnp.float32)
+
+    def build(rows_a, obs_a, rows_b, obs_b):
+        base_a = rows_a.transpose(1, 0, 2)  # (n_blocks, 9, nx)
+        base_b = rows_b.transpose(1, 0, 2)
+        n_blocks, _, nx = base_a.shape
+        pad_a = jnp.zeros((n_blocks, ROW_B - Q - 1, nx), jnp.float32)
+        pad_b = jnp.zeros((n_blocks, QP2 - ROW_B - Q - 1, nx), jnp.float32)
+        return jnp.concatenate(
+            [base_a, obs_a[:, None, :], pad_a,
+             base_b, obs_b[:, None, :], pad_b], axis=1
+        )
+
+    firsts2 = build(
+        interior[:, ::by, :], obs_f[::by, :],
+        interior[:, 1::by, :], obs_f[1::by, :],
+    )
+    lasts2 = build(
+        interior[:, by - 1 :: by, :], obs_f[by - 1 :: by, :],
+        interior[:, by - 2 :: by, :], obs_f[by - 2 :: by, :],
+    )
+    return firsts2, lasts2
+
+
+def _row_forced_factor(i, offset, by, h, accel):
+    """Scalar f32 indicator: is global row (i*by + offset) mod h the
+    forced row? ``offset`` is static, ``i`` the block program id."""
+    if accel is None or accel.axis != 0:
+        return None
+    target = (accel.index - offset) % h
+    if target % by != 0:
+        return np.float32(0.0)
+    owner = target // by
+    return jnp.where(
+        i == np.int32(owner), np.float32(1.0), np.float32(0.0)
+    )
+
+
+def _accel_rows2(vals, obs_f, line_f, accel):
+    """Guarded forcing on a list of planes with an f32 0/1 line
+    indicator (scalar or array) and f32 0/1 obstacle flags."""
+    fluid_f = np.float32(1.0) - obs_f
+    ok = _accel_ok(vals, fluid_f, accel, line_f)
+    return _accelerated(vals, ok, accel)
+
+
+def _pull_interior(body, prev_a, next_a, row_ids, by, nx):
+    """Streamed source planes for rows [s, s+by) given the block body and
+    the rows directly below/above (per-speed lists)."""
+    streamed = []
+    for k in range(Q):
+        cy = int(D2Q9.CY[k])
+        cx = int(D2Q9.CX[k])
+        if cy == 0:
+            win = body[k]
+        elif cy == 1:
+            rolled = pltpu.roll(body[k], 1, 0) if by > 1 else body[k]
+            win = jnp.where(row_ids == 0, prev_a[k], rolled)
+        else:
+            rolled = pltpu.roll(body[k], by - 1, 0) if by > 1 else body[k]
+            win = jnp.where(row_ids == by - 1, next_a[k], rolled)
+        if cx != 0:
+            win = pltpu.roll(win, cx % nx, 1)
+        streamed.append(win)
+    return streamed
+
+
+def _pull_boundary_pair(below, mid, above, nx):
+    """Streamed planes for the stacked (2, nx) boundary rows: row 0 is
+    the block's row s-1, row 1 its row s+by. ``below``/``mid``/``above``
+    are per-speed lists of (2, nx) source stacks (rows one below / at /
+    one above each boundary row)."""
+    streamed = []
+    for k in range(Q):
+        cy = int(D2Q9.CY[k])
+        cx = int(D2Q9.CX[k])
+        win = mid[k] if cy == 0 else (below[k] if cy == 1 else above[k])
+        if cx != 0:
+            win = pltpu.roll(win, cx % nx, 1)
+        streamed.append(win)
+    return streamed
+
+
+def _kernel2(
+    interior_ref,  # (9, H, nx) HBM
+    lasts_ref,  # (n_blocks, QP2, nx) HBM: current lasts2 (ring-indexed)
+    firsts_ref,  # (n_blocks, QP2, nx) HBM: current firsts2
+    obs_ref,  # (by, nx) VMEM block (int8, auto-pipelined)
+    *rest,
+    by: int,
+    h: int,
+    omega: np.float32,
+    accel: AccelSpec,
+    has_dst: bool = False,
+):
+    rest = list(rest)
+    if has_dst:
+        (_dc, _df, _dl, out_ref, firsts_out_ref, lasts_out_ref, tot_ref,
+         body_scr, prev_scr, next_scr, sems) = rest
+    else:
+        (out_ref, firsts_out_ref, lasts_out_ref, tot_ref,
+         body_scr, prev_scr, next_scr, sems) = rest
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dmas(block, slot):
+        return (
+            pltpu.make_async_copy(
+                interior_ref.at[:, pl.ds(block * by, by), :],
+                body_scr.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                lasts_ref.at[(block - 1 + n) % n],
+                prev_scr.at[slot], sems.at[slot, 1],
+            ),
+            pltpu.make_async_copy(
+                firsts_ref.at[(block + 1) % n],
+                next_scr.at[slot], sems.at[slot, 2],
+            ),
+        )
+
+    def start(block, slot):
+        for dma in dmas(block, slot):
+            dma.start()
+
+    def wait(block, slot):
+        for dma in dmas(block, slot):
+            dma.wait()
+
+    @pl.when(i == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(i + 1 < n)
+    def _():
+        start(jnp.minimum(i + 1, n - 1), (i + 1) % 2)
+
+    slot = i % 2
+    wait(i, slot)
+
+    nx = out_ref.shape[-1]
+    obstacles = obs_ref[:] != 0
+    obs_body_f = obstacles.astype(jnp.float32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (by, nx), 0)
+
+    body = [body_scr[slot, k] for k in range(Q)]
+    # prev entry = lasts2 of the block below: A = row s-1, B = row s-2.
+    # next entry = firsts2 of the block above: A = row s+by, B = s+by+1.
+    pa = [prev_scr[slot, k] for k in range(Q)]
+    pb = [prev_scr[slot, ROW_B + k] for k in range(Q)]
+    na = [next_scr[slot, k] for k in range(Q)]
+    nb = [next_scr[slot, ROW_B + k] for k in range(Q)]
+    pa_obs = prev_scr[slot, OBS_CH_A]
+    pb_obs = prev_scr[slot, OBS_CH_B]
+    na_obs = next_scr[slot, OBS_CH_A]
+    nb_obs = next_scr[slot, OBS_CH_B]
+
+    # --- acceleration at state t, on every loaded copy -------------------
+    if accel.axis == 0:
+        lr = accel.index % by
+        ab = accel.index // by
+        owner = jnp.where(i == np.int32(ab), np.float32(1.0), np.float32(0.0))
+        body_line = (row_ids == np.int32(lr)).astype(jnp.float32) * owner
+        f_pa = _row_forced_factor(i, -1, by, h, accel)
+        f_pb = _row_forced_factor(i, -2, by, h, accel)
+        f_na = _row_forced_factor(i, by, by, h, accel)
+        f_nb = _row_forced_factor(i, by + 1, by, h, accel)
+        ones_row = jnp.ones((1, nx), jnp.float32)
+        bnd_line = jnp.concatenate([ones_row * f_pa, ones_row * f_na])
+    else:
+        lane1 = (
+            jax.lax.broadcasted_iota(jnp.int32, (nx,), 0)
+            == np.int32(accel.index)
+        ).astype(jnp.float32)
+        body_line = (
+            jax.lax.broadcasted_iota(jnp.int32, (by, nx), 1)
+            == np.int32(accel.index)
+        ).astype(jnp.float32)
+        f_pa = f_pb = f_na = f_nb = lane1
+        bnd_line = jnp.stack([lane1, lane1])
+
+    body = _accel_rows2(body, obs_body_f, body_line, accel)
+    pa = _accel_rows2(pa, pa_obs, f_pa, accel)
+    pb = _accel_rows2(pb, pb_obs, f_pb, accel)
+    na = _accel_rows2(na, na_obs, f_na, accel)
+    nb = _accel_rows2(nb, nb_obs, f_nb, accel)
+
+    # --- step 1: t -> t+1 on rows [s-1, s+by] ----------------------------
+    mid_src = _pull_interior(body, pa, na, row_ids, by, nx)
+    mid1, tot1 = _bgk_update(mid_src, obstacles, omega)
+    mid1 = [mid1[k] for k in range(Q)]
+
+    # Boundary rows s-1 (stack row 0) and s+by (stack row 1), batched.
+    below = [jnp.stack([pb[k], body[k][by - 1]]) for k in range(Q)]
+    mid_b = [jnp.stack([pa[k], na[k]]) for k in range(Q)]
+    above = [jnp.stack([body[k][0], nb[k]]) for k in range(Q)]
+    bnd_obs_f = jnp.stack([pa_obs, na_obs])
+    bnd_obs = bnd_obs_f > np.float32(0.5)
+    bnd_src = _pull_boundary_pair(below, mid_b, above, nx)
+    bnd1, _ = _bgk_update(bnd_src, bnd_obs, omega)  # tot not owned here
+    bnd1 = [bnd1[k] for k in range(Q)]
+
+    # --- acceleration at state t+1 ---------------------------------------
+    mid1 = _accel_rows2(mid1, obs_body_f, body_line, accel)
+    bnd1 = _accel_rows2(bnd1, bnd_obs_f, bnd_line, accel)
+
+    # --- step 2: t+1 -> t+2 on rows [s, s+by) ----------------------------
+    top1 = [bnd1[k][0] for k in range(Q)]
+    bot1 = [bnd1[k][1] for k in range(Q)]
+    out_src = _pull_interior(mid1, top1, bot1, row_ids, by, nx)
+    new, tot2 = _bgk_update(out_src, obstacles, omega)
+    out_ref[:] = new
+
+    # --- export the new state's double edge rows --------------------------
+    obs_f = obs_body_f
+    pad_a = jnp.zeros((ROW_B - Q - 1, nx), jnp.float32)
+    pad_b = jnp.zeros((QP2 - ROW_B - Q - 1, nx), jnp.float32)
+    firsts_out_ref[0] = jnp.concatenate(
+        [new[:, 0, :], obs_f[0:1, :], pad_a,
+         new[:, 1, :], obs_f[1:2, :], pad_b], axis=0
+    )
+    lasts_out_ref[0] = jnp.concatenate(
+        [new[:, by - 1, :], obs_f[by - 1 : by, :], pad_a,
+         new[:, by - 2, :], obs_f[by - 2 : by - 1, :], pad_b], axis=0
+    )
+
+    @pl.when(i == 0)
+    def _():
+        tot_ref[0, 0] = tot1
+        tot_ref[0, 1] = tot2
+
+    @pl.when(i > 0)
+    def _():
+        tot_ref[0, 0] = tot_ref[0, 0] + tot1
+        tot_ref[0, 1] = tot_ref[0, 1] + tot2
+
+
+def _pallas_step2(interior, firsts2, lasts2, obs_i8, *, omega_f, interpret,
+                  accel, dst=None):
+    """One fused TWO-step pass (ring periodic y). Returns
+    ``(new, firsts2', lasts2', tot1, tot2)`` where the edge arrays are
+    the t+2 state's double edge rows and tot1/tot2 the per-step |u| sums.
+
+    Like :func:`_pallas_step`, deliberately not jitted itself."""
+    q, h, nx = interior.shape
+    by = _pick_block_rows(h, nx)
+    n_blocks = h // by
+    omega = np.float32(omega_f)
+
+    kernel = functools.partial(
+        _kernel2, by=by, h=h, omega=omega, accel=accel,
+        has_dst=dst is not None,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [interior, lasts2, firsts2, obs_i8]
+    aliases = {}
+    if dst is not None:
+        base = len(operands)
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        operands += list(dst)
+        aliases = {base: 0, base + 1: 1, base + 2: 2}
+    new, firsts_o, lasts_o, tot = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((Q, by, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QP2, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QP2, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q, h, nx), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, QP2, nx), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, QP2, nx), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, Q, by, nx), jnp.float32),
+            pltpu.VMEM((2, QP2, nx), jnp.float32),
+            pltpu.VMEM((2, QP2, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=min(
+                100 * 1024 * 1024,
+                4 * (2 * Q * by * nx * 4 + 2 * Q * by * nx * 4) + (1 << 22),
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(200 * h * nx),
+            bytes_accessed=int((2 * Q * 4 + 4) * h * nx),
+            transcendentals=int(2 * h * nx),
+        ),
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*operands)
+    return new, firsts_o, lasts_o, tot[0, 0], tot[0, 1]
+
+
 def _edge_pad(row9, nx):
     """(9, 1, nx) halo row -> (1, QP, nx) edge-array entry (obs ch = 0:
     halo rows come from outside the block's mask and are only read as
@@ -520,7 +863,7 @@ class CarryStep:
     block-interior (always true for the ny-2 row with 8-row blocks);
     otherwise it falls back to the XLA row update (unpaired)."""
 
-    def __init__(self, params: Params, paired: bool = True):
+    def __init__(self, params: Params, paired: bool = True, fuse: int = 1):
         self.params = params
         self.omega = float(params.omega)
         self._h, self._nx = self._shape(params)
@@ -528,7 +871,13 @@ class CarryStep:
         row = self._h - 2
         self._by = by
         self._in_kernel = by >= 3 and row % by not in (0, by - 1)
-        self.steps_per_call = 2 if (paired and self._in_kernel) else 1
+        # Temporal fusion needs 8-aligned blocks (double edge rows +
+        # boundary recompute assume the standard tile geometry).
+        self.fused = 2 if (fuse == 2 and by % 8 == 0) else 1
+        if self.fused == 2:
+            self.steps_per_call = 4 if paired else 2
+        else:
+            self.steps_per_call = 2 if (paired and self._in_kernel) else 1
 
     @staticmethod
     def _shape(params):
@@ -556,6 +905,15 @@ class CarryStep:
     def init(self, cells, prepared):
         obstacles, _ = prepared
         cells = self._transform_in(cells)
+        if self.fused == 2:
+            firsts, lasts = gather_edge_rows2(cells, obstacles, self._by)
+            if self.steps_per_call == 4:
+                return (
+                    cells, jnp.zeros_like(cells),
+                    firsts, lasts,
+                    jnp.zeros_like(firsts), jnp.zeros_like(lasts),
+                )
+            return (cells, firsts, lasts)
         firsts, lasts = gather_edge_rows(cells, obstacles, self._by)
         if self.steps_per_call == 2:
             return (
@@ -573,6 +931,30 @@ class CarryStep:
 
     def step(self, carry, prepared):
         obstacles, obs_i8 = prepared
+        if self.fused == 2:
+            accel = self._accel_spec()
+            if self.steps_per_call == 4:
+                cells_a, cells_b, fa, la, fb, lb = carry
+                n1, f1, l1, t1a, t1b = _pallas_step2(
+                    cells_a, fa, la, obs_i8, omega_f=self.omega,
+                    interpret=_interpret(), accel=accel,
+                    dst=(cells_b, fb, lb),
+                )
+                n2, f2, l2, t2a, t2b = _pallas_step2(
+                    n1, f1, l1, obs_i8, omega_f=self.omega,
+                    interpret=_interpret(), accel=accel,
+                    dst=(cells_a, fa, la),
+                )
+                return (
+                    (n2, n1, f2, l2, f1, l1),
+                    jnp.stack([t1a, t1b, t2a, t2b]),
+                )
+            cells, firsts, lasts = carry
+            new, f2, l2, t1, t2 = _pallas_step2(
+                cells, firsts, lasts, obs_i8, omega_f=self.omega,
+                interpret=_interpret(), accel=accel,
+            )
+            return (new, f2, l2), jnp.stack([t1, t2])
         if self.steps_per_call == 2:
             cells_a, cells_b, fa, la, fb, lb = carry
             accel = self._accel_spec()
@@ -636,19 +1018,30 @@ class TransposedCarryStep(CarryStep):
     def _obs_transform(self, obstacles):
         return obstacles.T
 
-    def __init__(self, params: Params, paired: bool = True):
-        super().__init__(params, paired=paired)
+    def __init__(self, params: Params, paired: bool = True, fuse: int = 1):
+        super().__init__(params, paired=paired, fuse=fuse)
         # Lane-masked acceleration is always in-kernel in this layout.
         self._in_kernel = True
-        self.steps_per_call = 2 if paired else 1
+        if self.fused == 1:
+            self.steps_per_call = 2 if paired else 1
 
 
-def make_carry_step(params: Params, ny: int, nx: int, paired: bool = True):
-    """Pick the execution layout: transposed when the grid is much wider
-    than tall (and tall enough transposed to block well)."""
-    if nx >= 2 * ny and nx % 8 == 0:
-        return TransposedCarryStep(params, paired=paired)
-    return CarryStep(params, paired=paired)
+def make_carry_step(params: Params, ny: int, nx: int, paired: bool = True,
+                    n_iters: int | None = None):
+    """Pick the execution layout (transposed when the grid is much wider
+    than tall) and the temporal fusion level: the two-step kernel halves
+    per-step HBM traffic and is used whenever the iteration count and
+    block geometry allow."""
+    cls = (
+        TransposedCarryStep
+        if nx >= 2 * ny and nx % 8 == 0
+        else CarryStep
+    )
+    if n_iters is not None and n_iters % 2 == 0:
+        impl = cls(params, paired=paired and n_iters % 4 == 0, fuse=2)
+        if impl.fused == 2:
+            return impl
+    return cls(params, paired=paired)
 
 
 def make_fused_step(params: Params):

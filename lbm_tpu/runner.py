@@ -64,7 +64,8 @@ class _SimpleImpl:
         return carry
 
 
-def _select_impl(kernel: str, params: Params, paired: bool = True):
+def _select_impl(kernel: str, params: Params, paired: bool = True,
+                 n_iters: int | None = None):
     """Resolve a step implementation with prepare/init/step/final over an
     opaque carry (the Pallas path carries per-block edge-row arrays and,
     in paired mode, ping-pong lattice buffers alongside the lattice).
@@ -102,7 +103,7 @@ def _select_impl(kernel: str, params: Params, paired: bool = True):
         from lbm_tpu.ops import pallas_fused
 
         return pallas_fused.make_carry_step(
-            params, params.ny, params.nx, paired=paired
+            params, params.ny, params.nx, paired=paired, n_iters=n_iters
         )
     raise ValueError(f"unknown kernel {kernel!r}")
 
@@ -153,7 +154,7 @@ def make_simulate(params: Params, kernel: str = "auto", n_iters: int | None = No
     ``(cells0, obstacles, inv_fluid) -> (final_cells, av_vels)``.
     """
     iters = params.max_iters if n_iters is None else n_iters
-    impl = _select_impl(kernel, params, paired=iters % 2 == 0)
+    impl = _select_impl(kernel, params, paired=iters % 2 == 0, n_iters=iters)
     core = _loop_core(impl, iters)
     av_dtype = params.dtype
 
@@ -168,7 +169,9 @@ def make_simulate(params: Params, kernel: str = "auto", n_iters: int | None = No
 def make_chunk(params: Params, kernel: str, chunk_iters: int):
     """Jitted chunk runner ``(cells, obstacles, inv, av, t0) -> (cells, av)``
     executing ``chunk_iters`` steps that write av_vels[t0:t0+chunk_iters]."""
-    impl = _select_impl(kernel, params, paired=chunk_iters % 2 == 0)
+    impl = _select_impl(
+        kernel, params, paired=chunk_iters % 2 == 0, n_iters=chunk_iters
+    )
     core = _loop_core(impl, chunk_iters)
     return jax.jit(core, donate_argnums=(0, 3))
 

@@ -7,11 +7,14 @@ Usage:
     python scripts/sweep.py [--grids 128x128 1024x1024 ...]
         [--kernels reference pallas] [--devices 1 2 4 8]
         [--iters N] [--repeats R] [-o sweep_results.json]
+        [--platform cpu] (forces an 8-virtual-device CPU platform for
+        multi-device rows without TPU hardware, like tests/conftest.py)
 """
 
 import argparse
 import itertools
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -99,7 +102,27 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("-o", "--output", default="sweep_results.json")
+    p.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu"],
+        help="force the jax platform (cpu provisions a virtual device "
+             "mesh sized to max(--devices))",
+    )
     args = p.parse_args(argv)
+
+    if args.platform == "cpu":
+        n = max(args.devices)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = [
+            f for f in os.environ.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f
+        ]
+        flags.append(f"--xla_force_host_platform_device_count={n}")
+        os.environ["XLA_FLAGS"] = " ".join(flags)
+        import jax
+
+        # sitecustomize registers the tunnel backend programmatically,
+        # which beats the env var — override post-import.
+        jax.config.update("jax_platforms", "cpu")
 
     results = []
     for grid, kernel, nd in itertools.product(args.grids, args.kernels, args.devices):

@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""Reproducible full-scene golden validation (the claims in docs/PERF.md
+as a committed artifact): run every official scene end-to-end through
+the CLI, validate with the REFERENCE'S OWN checker (check/check.py,
+tolerance 1%) where its golden final_state exists, and emit one JSON
+artifact scene -> max %diff -> pass.
+
+The reference ran this via `make check REF_*=...` per grid
+(check_commands.txt:1-5); the two large final_state goldens were
+stripped from this mirror (.MISSING_LARGE_BLOBS), so 256x256 and
+1024x1024 validate av_vels with check.py's own formula (col 1, max
+percentage diff, check/check.py:83-99).
+
+Usage: python scripts/validate_scenes.py [--kernel auto]
+           [-o docs/artifacts/validate_scenes.json] [--scenes 128x128 ...]
+"""
+
+import argparse
+import json
+import re
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+REFERENCE = Path("/root/reference")
+CHECK = REFERENCE / "check"
+
+SCENES = ["128x128", "128x256", "256x256", "1024x1024"]
+TOLERANCE = 1.0  # check.py's default max %diff gate
+
+
+def max_pct_diff(ref: np.ndarray, sim: np.ndarray) -> float:
+    """check.py's get_diff_values formula (check/check.py:83-99)."""
+    diff = ref - sim
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pct = 100.0 * (diff / (ref - diff))
+    return float(np.max(np.abs(pct)))
+
+
+def run_scene(scene: str, kernel: str, workdir: Path) -> dict:
+    av = workdir / f"{scene}.av_vels.dat"
+    fs = workdir / f"{scene}.final_state.dat"
+    cmd = [
+        sys.executable, "-m", "lbm_tpu",
+        str(REFERENCE / f"input_{scene}.params"),
+        str(REFERENCE / f"obstacles_{scene}.dat"),
+        "--kernel", kernel,
+        "--av-vels-file", str(av),
+        "--final-state-file", str(fs),
+    ]
+    t0 = time.perf_counter()
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
+    )
+    wall = time.perf_counter() - t0
+    if res.returncode != 0:
+        return {"scene": scene, "pass": False,
+                "error": res.stderr[-1000:], "wall_seconds": wall}
+    reynolds = float(
+        re.search(r"Reynolds number:\s+(\S+)", res.stdout).group(1)
+    )
+    compute = float(
+        re.search(r"Compute time:\s+(\S+)", res.stdout).group(1)
+    )
+
+    out = {
+        "scene": scene,
+        "kernel": kernel,
+        "reynolds": reynolds,
+        "compute_seconds": compute,
+        "wall_seconds": round(wall, 2),
+    }
+
+    ref_fs = CHECK / f"{scene}.final_state.dat"
+    if ref_fs.exists():
+        # The real acceptance gate: the reference's own checker.
+        chk = subprocess.run(
+            [sys.executable, str(CHECK / "check.py"),
+             f"--ref-av-vels-file={CHECK}/{scene}.av_vels.dat",
+             f"--ref-final-state-file={ref_fs}",
+             f"--av-vels-file={av}", f"--final-state-file={fs}"],
+            capture_output=True, text=True, timeout=600,
+        )
+        pcts = re.findall(r"= (-?[\d.]+)%", chk.stdout)
+        out["checker"] = "reference check.py (both files)"
+        out["max_av_vels_pct"] = float(pcts[0]) if pcts else None
+        out["max_final_state_pct"] = (
+            float(pcts[1]) if len(pcts) > 1 else None
+        )
+        out["pass"] = (
+            chk.returncode == 0 and "Both tests passed!" in chk.stdout
+        )
+    else:
+        # Golden final_state stripped from the mirror: validate the
+        # trajectory fingerprint with the same formula.
+        ref_av = np.loadtxt(CHECK / f"{scene}.av_vels.dat", usecols=[1])
+        sim_av = np.loadtxt(av, usecols=[1])
+        assert ref_av.size == sim_av.size, "step-count mismatch"
+        out["checker"] = "check.py formula, av_vels only (golden final_state stripped)"
+        out["max_av_vels_pct"] = max_pct_diff(ref_av, sim_av)
+        out["pass"] = abs(out["max_av_vels_pct"]) <= TOLERANCE
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scenes", nargs="+", default=SCENES)
+    p.add_argument("--kernel", default="auto")
+    p.add_argument("-o", "--output",
+                   default="docs/artifacts/validate_scenes.json")
+    args = p.parse_args(argv)
+
+    import jax
+
+    results = {
+        "backend": jax.default_backend(),
+        "kernel": args.kernel,
+        "tolerance_pct": TOLERANCE,
+        "scenes": [],
+    }
+    with tempfile.TemporaryDirectory() as td:
+        for scene in args.scenes:
+            r = run_scene(scene, args.kernel, Path(td))
+            print(json.dumps(r), flush=True)
+            results["scenes"].append(r)
+    results["ok"] = all(s.get("pass") for s in results["scenes"])
+    out = Path(args.output)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(results, indent=2) + "\n")
+    print(f"{'PASS' if results['ok'] else 'FAIL'} -> {out}")
+    return 0 if results["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Analytic ICI halo-cost / weak-scaling model for the sharded path —
+the TPU counterpart of the reference's measured "halo_exchange = 23% of
+compute at 112 ranks" (report_mpi/report.tex:164-165), built from the
+program's actual per-step traffic instead of cluster measurements (no
+multi-chip hardware is attached; every constant is stated below).
+
+Per step each shard exchanges its two boundary edge-array entries by
+ppermute: 2 directions x QP(16) channels x L lanes x 4 B. Compute per
+step moves ~73 B/cell of HBM traffic (18 f32 distributions + int8
+mask) at the measured single-chip efficiency (0.78 of the v5e's
+nominal 819 GB/s for >=600 MB states, docs/PERF.md).
+
+Weak scaling holds the PER-SHARD grid constant (the BASELINE.json
+north-star: 16384x1024 per chip, growing the global lattice with the
+mesh), so efficiency(n>1) = t_comp / (t_comp + t_halo) is flat in n —
+"near-linear" by construction unless halo time rivals compute.
+
+Usage: python scripts/weak_scaling_model.py
+           [-o docs/profiles/weak_scaling.png]
+           [-j docs/artifacts/weak_scaling_model.json]
+"""
+
+import argparse
+import json
+from pathlib import Path
+
+HBM_GBPS = 819  # v5e nominal
+HBM_EFF = 0.78  # measured: 640 GB/s effective on >=600 MB states
+BYTES_PER_CELL = 73  # 18 f32 + 1 int8 mask byte (docs/PERF.md)
+ICI_GBPS = 90  # one v5e ICI link direction, conservative
+ICI_LAT_US = 2.0  # per-ppermute launch/latency allowance
+QP = 16  # edge-entry channels (speeds 9 + flags, padded)
+
+# (name, per-shard rows on the sharded axis, lanes) — per-chip shard of
+# the stress grids under the production sharding plan (wide grids shard
+# transposed physical x; lanes = the other dimension).
+SHARDS = [
+    ("16384x1024 per chip", 16384, 1024),
+    ("131072x128 per chip", 131072, 128),
+]
+
+
+def model(rows: int, lanes: int, n: int) -> dict:
+    cells = rows * lanes
+    t_comp = cells * BYTES_PER_CELL / (HBM_GBPS * 1e9 * HBM_EFF)
+    if n == 1:
+        t_halo = 0.0
+    else:
+        halo_bytes = 2 * QP * lanes * 4  # both directions, one step
+        t_halo = halo_bytes / (ICI_GBPS * 1e9) + 2 * ICI_LAT_US * 1e-6
+    return {
+        "devices": n,
+        "t_compute_us": t_comp * 1e6,
+        "t_halo_us": t_halo * 1e6,
+        "halo_fraction": t_halo / (t_comp + t_halo),
+        "efficiency": t_comp / (t_comp + t_halo),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-o", "--output", default="docs/profiles/weak_scaling.png")
+    p.add_argument("-j", "--json",
+                   default="docs/artifacts/weak_scaling_model.json")
+    args = p.parse_args(argv)
+
+    devices = [1, 2, 4, 8, 16]
+    results = {
+        "model": {
+            "hbm_gbps": HBM_GBPS, "hbm_efficiency": HBM_EFF,
+            "bytes_per_cell": BYTES_PER_CELL, "ici_gbps": ICI_GBPS,
+            "ici_latency_us": ICI_LAT_US, "edge_channels": QP,
+        },
+        "reference_halo_fraction": 0.23,  # report_mpi/report.tex:164-165
+        "grids": {},
+    }
+    for name, rows, lanes in SHARDS:
+        rows_n = [model(rows, lanes, n) for n in devices]
+        results["grids"][name] = rows_n
+        for r in rows_n:
+            print(f"{name} n={r['devices']}: compute {r['t_compute_us']:.0f} us, "
+                  f"halo {r['t_halo_us']:.1f} us -> efficiency "
+                  f"{r['efficiency']:.4f}")
+
+    jp = Path(args.json)
+    jp.parent.mkdir(parents=True, exist_ok=True)
+    jp.write_text(json.dumps(results, indent=2) + "\n")
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6.4, 4.0), dpi=150)
+    colors = ["#2a78d6", "#eb6834"]  # categorical slots 1-2
+    for (name, _, _), color in zip(SHARDS, colors):
+        rows_n = results["grids"][name]
+        xs = [r["devices"] for r in rows_n]
+        ys = [r["efficiency"] for r in rows_n]
+        ax.plot(xs, ys, color=color, linewidth=2, marker="o", markersize=5)
+        ax.annotate(name, (xs[-1], ys[-1]), textcoords="offset points",
+                    xytext=(-4, -14), ha="right", fontsize=9,
+                    color="#404040")
+    ax.axhline(0.77, color="#8a8a85", linewidth=1, linestyle="--")
+    ax.annotate("reference MPI: 23% halo overhead at 112 ranks",
+                (1, 0.77), textcoords="offset points", xytext=(4, 4),
+                fontsize=8, color="#6b6b66")
+    ax.set_xscale("log", base=2)
+    ax.set_xticks(devices)
+    ax.set_xticklabels([str(d) for d in devices])
+    ax.set_ylim(0.7, 1.02)
+    ax.set_xlabel("chips (weak scaling: per-chip grid held constant)")
+    ax.set_ylabel("modelled efficiency")
+    ax.set_title("Weak-scaling model: ICI halo cost vs per-step compute",
+                 fontsize=11)
+    ax.spines[["top", "right"]].set_visible(False)
+    ax.grid(axis="y", color="#e6e6e2", linewidth=0.8)
+    ax.set_axisbelow(True)
+    fig.tight_layout()
+    out = Path(args.output)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out)
+    print(f"wrote {out} and {jp}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys_exit = main()
+    raise SystemExit(sys_exit)

@@ -178,3 +178,87 @@ def test_carrystep_accel_fallback_matches_reference(ny, monkeypatch):
     got = run_simulation(p, obstacles, kernel="pallas")
     np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
     np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+
+
+class TestFusedTwoStep:
+    """Temporal-blocking kernel (_pallas_step2): two timesteps per HBM
+    pass with double carried edge rows and redundant boundary-row
+    compute. Trajectories must match the jnp reference at f32
+    reassociation level, including when the forced row ny-2 lands in an
+    edge-array channel of a neighbouring block (the f_pb owner factor)
+    and when obstacles sit on the forced row (guarded forcing on loaded
+    halo copies)."""
+
+    def _check(self, p, obstacles):
+        from lbm_tpu.runner import run_simulation, _select_impl
+
+        impl = _select_impl(
+            "pallas", p, paired=p.max_iters % 2 == 0, n_iters=p.max_iters
+        )
+        assert impl.fused == 2, "shape must select the fused-2 kernel"
+        base = run_simulation(p, obstacles, kernel="reference")
+        got = run_simulation(p, obstacles, kernel="pallas")
+        np.testing.assert_allclose(
+            base.cells, got.cells, rtol=2e-5, atol=5e-8
+        )
+        np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+        return impl
+
+    def test_single_block_square(self):
+        p = small_params(ny=32, nx=32, max_iters=20)
+        obstacles = generate_obstacles(p.nx, p.ny)
+        self._check(p, obstacles)
+
+    def test_multiblock_forced_row_in_edge_channel(self, monkeypatch):
+        """by=8 multi-block: block 0's prev-B edge row IS the forced row
+        (global h-2), exercising the static owner factors; obstacles
+        scattered on the forced row exercise the guard on edge copies."""
+        import lbm_tpu.ops.pallas_fused as pf
+
+        monkeypatch.setattr(pf, "_SLOT_BYTES", 8 * 9 * 32 * 4)
+        rng = np.random.default_rng(17)
+        p = small_params(ny=32, nx=32, max_iters=20)
+        obstacles = generate_obstacles(p.nx, p.ny)
+        obstacles[p.ny - 2, :] |= rng.random(p.nx) < 0.3
+        obstacles[p.ny - 2, 5] = False
+        impl = self._check(p, obstacles)
+        assert impl._h // impl._by == 4
+
+    def test_unpaired_odd_pairs(self):
+        """iters % 4 != 0: fused-2 runs unpaired (2 steps per call)."""
+        from lbm_tpu.runner import _select_impl
+
+        p = small_params(ny=32, nx=32, max_iters=22)
+        impl = _select_impl("pallas", p, paired=False, n_iters=22)
+        assert impl.fused == 2 and impl.steps_per_call == 2
+        obstacles = generate_obstacles(p.nx, p.ny)
+        self._check(p, obstacles)
+
+    def test_transposed_wide_grid(self, monkeypatch):
+        """Wide grids run fused-2 on the transposed lattice with the
+        lane-masked forcing applied to every copy."""
+        import lbm_tpu.ops.pallas_fused as pf
+
+        monkeypatch.setattr(pf, "_SLOT_BYTES", 16 * 9 * 16 * 4)
+        rng = np.random.default_rng(23)
+        p = small_params(ny=16, nx=64, max_iters=20)
+        obstacles = generate_obstacles(p.nx, p.ny)
+        obstacles |= rng.random((p.ny, p.nx)) < 0.1
+        obstacles[p.ny - 2, 7] = False
+        impl = self._check(p, obstacles)
+        assert type(impl) is pf.TransposedCarryStep
+
+    def test_odd_iters_fall_back_to_single_step(self):
+        from lbm_tpu.runner import _select_impl
+
+        p = small_params(ny=32, nx=32, max_iters=21)
+        impl = _select_impl("pallas", p, paired=False, n_iters=21)
+        assert impl.fused == 1 and impl.steps_per_call == 1
+        obstacles = generate_obstacles(p.nx, p.ny)
+        from lbm_tpu.runner import run_simulation
+
+        base = run_simulation(p, obstacles, kernel="reference")
+        got = run_simulation(p, obstacles, kernel="pallas")
+        np.testing.assert_allclose(
+            base.cells, got.cells, rtol=2e-5, atol=5e-8
+        )
