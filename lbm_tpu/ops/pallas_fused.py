@@ -484,35 +484,45 @@ def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret,
 
 QP2 = 32
 OBS_CH_A = Q  # 9: obstacle flags of edge row A (outermost)
+ACC_CH_A = Q + 1  # 10: accel-line flag of row A (sharded dynamic forcing)
 ROW_B = 16  # channel base of edge row B (second row in)
 OBS_CH_B = ROW_B + Q  # 25
+ACC_CH_B = ROW_B + Q + 1  # 26
 
 
-def gather_edge_rows2(interior, obstacles, by):
+def gather_edge_rows2(interior, obstacles, by, accel_mask=None):
     """Per-block double edge rows ``(firsts2, lasts2)`` of shape
     (n_blocks, QP2, nx): firsts2[b] packs rows b*by (A) and b*by+1 (B);
     lasts2[b] packs rows b*by+by-1 (A) and b*by+by-2 (B), each with its
-    obstacle flags."""
+    obstacle flags (and accel-line flags when ``accel_mask`` is given —
+    the sharded dynamic-forcing path)."""
     obs_f = obstacles.astype(jnp.float32)
+    acc_f = (
+        accel_mask.astype(jnp.float32)
+        if accel_mask is not None
+        else jnp.zeros_like(obs_f)
+    )
 
-    def build(rows_a, obs_a, rows_b, obs_b):
+    def build(rows_a, obs_a, acc_a, rows_b, obs_b, acc_b):
         base_a = rows_a.transpose(1, 0, 2)  # (n_blocks, 9, nx)
         base_b = rows_b.transpose(1, 0, 2)
         n_blocks, _, nx = base_a.shape
-        pad_a = jnp.zeros((n_blocks, ROW_B - Q - 1, nx), jnp.float32)
-        pad_b = jnp.zeros((n_blocks, QP2 - ROW_B - Q - 1, nx), jnp.float32)
+        pad_a = jnp.zeros((n_blocks, ROW_B - Q - 2, nx), jnp.float32)
+        pad_b = jnp.zeros((n_blocks, QP2 - ROW_B - Q - 2, nx), jnp.float32)
         return jnp.concatenate(
-            [base_a, obs_a[:, None, :], pad_a,
-             base_b, obs_b[:, None, :], pad_b], axis=1
+            [base_a, obs_a[:, None, :], acc_a[:, None, :], pad_a,
+             base_b, obs_b[:, None, :], acc_b[:, None, :], pad_b], axis=1
         )
 
     firsts2 = build(
-        interior[:, ::by, :], obs_f[::by, :],
-        interior[:, 1::by, :], obs_f[1::by, :],
+        interior[:, ::by, :], obs_f[::by, :], acc_f[::by, :],
+        interior[:, 1::by, :], obs_f[1::by, :], acc_f[1::by, :],
     )
     lasts2 = build(
         interior[:, by - 1 :: by, :], obs_f[by - 1 :: by, :],
+        acc_f[by - 1 :: by, :],
         interior[:, by - 2 :: by, :], obs_f[by - 2 :: by, :],
+        acc_f[by - 2 :: by, :],
     )
     return firsts2, lasts2
 
@@ -578,17 +588,20 @@ def _pull_boundary_pair(below, mid, above, nx):
 
 def _kernel2(
     interior_ref,  # (9, H, nx) HBM
-    lasts_ref,  # (n_blocks, QP2, nx) HBM: current lasts2 (ring-indexed)
-    firsts_ref,  # (n_blocks, QP2, nx) HBM: current firsts2
+    lasts_ref,  # (n_blocks, QP2, nx) HBM: current lasts2 (ring) / prevs2
+    firsts_ref,  # (n_blocks, QP2, nx) HBM: current firsts2 / nexts2
     obs_ref,  # (by, nx) VMEM block (int8, auto-pipelined)
     *rest,
     by: int,
     h: int,
     omega: np.float32,
     accel: AccelSpec,
+    ring: bool = True,
     has_dst: bool = False,
+    dynamic_accel: bool = False,
 ):
     rest = list(rest)
+    accmask_ref = rest.pop(0) if dynamic_accel else None
     if has_dst:
         (_dc, _df, _dl, out_ref, firsts_out_ref, lasts_out_ref, tot_ref,
          body_scr, prev_scr, next_scr, sems) = rest
@@ -599,6 +612,14 @@ def _kernel2(
     n = pl.num_programs(0)
 
     def dmas(block, slot):
+        if ring:
+            prev_src = lasts_ref.at[(block - 1 + n) % n]
+            next_src = firsts_ref.at[(block + 1) % n]
+        else:
+            # Sharded mode: explicit per-block neighbour-entry arrays
+            # (the shard's boundary entries arrived by ppermute).
+            prev_src = lasts_ref.at[block]
+            next_src = firsts_ref.at[block]
         return (
             pltpu.make_async_copy(
                 interior_ref.at[:, pl.ds(block * by, by), :],
@@ -606,12 +627,10 @@ def _kernel2(
                 sems.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                lasts_ref.at[(block - 1 + n) % n],
-                prev_scr.at[slot], sems.at[slot, 1],
+                prev_src, prev_scr.at[slot], sems.at[slot, 1]
             ),
             pltpu.make_async_copy(
-                firsts_ref.at[(block + 1) % n],
-                next_scr.at[slot], sems.at[slot, 2],
+                next_src, next_scr.at[slot], sems.at[slot, 2]
             ),
         )
 
@@ -652,7 +671,17 @@ def _kernel2(
     nb_obs = next_scr[slot, OBS_CH_B]
 
     # --- acceleration at state t, on every loaded copy -------------------
-    if accel.axis == 0:
+    if dynamic_accel:
+        # Sharded SPMD forcing: the owning line is dynamic per shard;
+        # the body's indicator arrives as an i8 mask input and every
+        # edge-entry row carries its own flag in the ACC channels.
+        body_line = (accmask_ref[:] != 0).astype(jnp.float32)
+        f_pa = prev_scr[slot, ACC_CH_A]
+        f_pb = prev_scr[slot, ACC_CH_B]
+        f_na = next_scr[slot, ACC_CH_A]
+        f_nb = next_scr[slot, ACC_CH_B]
+        bnd_line = jnp.stack([f_pa, f_na])
+    elif accel.axis == 0:
         lr = accel.index % by
         ab = accel.index // by
         owner = jnp.where(i == np.int32(ab), np.float32(1.0), np.float32(0.0))
@@ -709,15 +738,21 @@ def _kernel2(
 
     # --- export the new state's double edge rows --------------------------
     obs_f = obs_body_f
-    pad_a = jnp.zeros((ROW_B - Q - 1, nx), jnp.float32)
-    pad_b = jnp.zeros((QP2 - ROW_B - Q - 1, nx), jnp.float32)
+    if dynamic_accel:
+        acc_f = (accmask_ref[:] != 0).astype(jnp.float32)
+    else:
+        acc_f = jnp.zeros((by, nx), jnp.float32)
+    pad_a = jnp.zeros((ROW_B - Q - 2, nx), jnp.float32)
+    pad_b = jnp.zeros((QP2 - ROW_B - Q - 2, nx), jnp.float32)
     firsts_out_ref[0] = jnp.concatenate(
-        [new[:, 0, :], obs_f[0:1, :], pad_a,
-         new[:, 1, :], obs_f[1:2, :], pad_b], axis=0
+        [new[:, 0, :], obs_f[0:1, :], acc_f[0:1, :], pad_a,
+         new[:, 1, :], obs_f[1:2, :], acc_f[1:2, :], pad_b], axis=0
     )
     lasts_out_ref[0] = jnp.concatenate(
-        [new[:, by - 1, :], obs_f[by - 1 : by, :], pad_a,
-         new[:, by - 2, :], obs_f[by - 2 : by - 1, :], pad_b], axis=0
+        [new[:, by - 1, :], obs_f[by - 1 : by, :], acc_f[by - 1 : by, :],
+         pad_a,
+         new[:, by - 2, :], obs_f[by - 2 : by - 1, :],
+         acc_f[by - 2 : by - 1, :], pad_b], axis=0
     )
 
     @pl.when(i == 0)
@@ -732,10 +767,17 @@ def _kernel2(
 
 
 def _pallas_step2(interior, firsts2, lasts2, obs_i8, *, omega_f, interpret,
-                  accel, dst=None):
-    """One fused TWO-step pass (ring periodic y). Returns
+                  accel, ring=True, dst=None, accel_mask=None):
+    """One fused TWO-step pass. Returns
     ``(new, firsts2', lasts2', tot1, tot2)`` where the edge arrays are
     the t+2 state's double edge rows and tot1/tot2 the per-step |u| sums.
+
+    ``ring=True``: periodic y, the kernel ring-indexes lasts2/firsts2 as
+    its neighbour entries. ``ring=False``: sharded mode — ``lasts2`` /
+    ``firsts2`` are explicit per-block prevs2/nexts2 arrays (boundary
+    entries arrived by ppermute). ``accel_mask``: dynamic SPMD forcing
+    (``accel`` still supplies deltas/guards; the line indicator comes
+    from the mask and the edge ACC channels).
 
     Like :func:`_pallas_step`, deliberately not jitted itself."""
     q, h, nx = interior.shape
@@ -744,8 +786,8 @@ def _pallas_step2(interior, firsts2, lasts2, obs_i8, *, omega_f, interpret,
     omega = np.float32(omega_f)
 
     kernel = functools.partial(
-        _kernel2, by=by, h=h, omega=omega, accel=accel,
-        has_dst=dst is not None,
+        _kernel2, by=by, h=h, omega=omega, accel=accel, ring=ring,
+        has_dst=dst is not None, dynamic_accel=accel_mask is not None,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -754,6 +796,11 @@ def _pallas_step2(interior, firsts2, lasts2, obs_i8, *, omega_f, interpret,
         pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     operands = [interior, lasts2, firsts2, obs_i8]
+    if accel_mask is not None:
+        in_specs.append(
+            pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(accel_mask)
     aliases = {}
     if dst is not None:
         base = len(operands)

@@ -114,13 +114,26 @@ class _PallasShardImpl:
     lattice buffers, as in the single-chip path."""
 
     def __init__(self, params: Params, decomp: RowDecomposition,
-                 paired: bool = True):
+                 paired: bool = True, fuse: int = 1):
         from lbm_tpu.ops import pallas_fused as pf
 
         self.pf = pf
         self.params = params
         self.decomp = decomp
-        self.steps_per_call = 2 if paired else 1
+        h_local, lanes = self._local_shape(params, decomp)
+        by = pf._pick_block_rows(h_local, lanes)
+        # Temporal fusion (two steps per pass, pallas_fused._kernel2)
+        # needs 8-aligned blocks; the double edge entries ride the same
+        # ppermute pattern, so the halo machinery is unchanged.
+        self.fused = 2 if (fuse == 2 and by % 8 == 0) else 1
+        if self.fused == 2:
+            self.steps_per_call = 4 if paired else 2
+        else:
+            self.steps_per_call = 2 if paired else 1
+
+    @staticmethod
+    def _local_shape(params: Params, decomp: RowDecomposition):
+        return decomp.local_ny, params.nx
 
     def prepare(self, obstacles):
         d = self.decomp
@@ -135,10 +148,15 @@ class _PallasShardImpl:
     def init(self, cells, prepared):
         obstacles, _, accel_mask = prepared
         by = self.pf._pick_block_rows(cells.shape[1], cells.shape[2])
-        firsts, lasts = self.pf.gather_edge_rows(
-            cells, obstacles, by, accel_mask=accel_mask
-        )
-        if self.steps_per_call == 2:
+        if self.fused == 2:
+            firsts, lasts = self.pf.gather_edge_rows2(
+                cells, obstacles, by, accel_mask=accel_mask
+            )
+        else:
+            firsts, lasts = self.pf.gather_edge_rows(
+                cells, obstacles, by, accel_mask=accel_mask
+            )
+        if self.steps_per_call == 2 * self.fused:
             return (
                 cells, jnp.zeros_like(cells),
                 firsts, lasts, jnp.zeros_like(firsts), jnp.zeros_like(lasts),
@@ -157,6 +175,9 @@ class _PallasShardImpl:
         nexts = jnp.concatenate([firsts[1:], north_e], axis=0)
         return prevs, nexts
 
+    def _accel_spec(self):
+        return self.pf.AccelSpec.rows(self.params, self.params.ny)
+
     def _call(self, cells, firsts, lasts, prepared, dst):
         _, obs_i8, accel_mask = prepared
         prevs, nexts = self._halo_edges(firsts, lasts)
@@ -164,11 +185,42 @@ class _PallasShardImpl:
             cells, prevs, nexts, obs_i8,
             omega_f=float(self.params.omega),
             interpret=self.pf._interpret(),
-            accel=self.pf.AccelSpec.rows(self.params, self.params.ny),
+            accel=self._accel_spec(),
             accel_mask=accel_mask, dst=dst,
         )
 
+    def _call2(self, cells, firsts, lasts, prepared, dst):
+        _, obs_i8, accel_mask = prepared
+        prevs, nexts = self._halo_edges(firsts, lasts)
+        # _pallas_step2 in sharded (ring=False) mode takes the explicit
+        # next entries in the firsts2 slot and prev entries in lasts2.
+        return self.pf._pallas_step2(
+            cells, nexts, prevs, obs_i8,
+            omega_f=float(self.params.omega),
+            interpret=self.pf._interpret(),
+            accel=self._accel_spec(),
+            ring=False, accel_mask=accel_mask, dst=dst,
+        )
+
     def step(self, carry, prepared):
+        if self.fused == 2:
+            if self.steps_per_call == 4:
+                cells_a, cells_b, fa, la, fb, lb = carry
+                n1, f1, l1, t1a, t1b = self._call2(
+                    cells_a, fa, la, prepared, (cells_b, fb, lb)
+                )
+                n2, f2, l2, t2a, t2b = self._call2(
+                    n1, f1, l1, prepared, (cells_a, fa, la)
+                )
+                return (
+                    (n2, n1, f2, l2, f1, l1),
+                    jnp.stack([t1a, t1b, t2a, t2b]),
+                )
+            cells, firsts, lasts = carry
+            new, f2, l2, t1, t2 = self._call2(
+                cells, firsts, lasts, prepared, None
+            )
+            return (new, f2, l2), jnp.stack([t1, t2])
         if self.steps_per_call == 2:
             cells_a, cells_b, fa, la, fb, lb = carry
             new1, f1, l1, t1 = self._call(
@@ -194,8 +246,17 @@ class _TransposedPallasShardImpl(_PallasShardImpl):
     shard at a static index, so acceleration is the static lane
     AccelSpec — no dynamic mask or halo accel flags needed."""
 
+    @staticmethod
+    def _local_shape(params: Params, decomp: RowDecomposition):
+        # Transposed rows = physical x; lanes = physical y.
+        return decomp.local_ny, params.ny
+
+    def _accel_spec(self):
+        return self.pf.AccelSpec.lanes(self.params, self.params.ny)
+
     def prepare(self, obstacles):
         # obstacles arrive as the local physical block (ny, local_nx).
+        # accel_mask stays None: the forced line is a static lane column.
         obs_t = obstacles.T
         return (obs_t, obs_t.astype(jnp.int8), None)
 
@@ -204,25 +265,7 @@ class _TransposedPallasShardImpl(_PallasShardImpl):
 
         obs_t, _, _ = prepared
         cells_t = transpose_state(cells)  # (9, local_nx, ny)
-        by = self.pf._pick_block_rows(cells_t.shape[1], cells_t.shape[2])
-        firsts, lasts = self.pf.gather_edge_rows(cells_t, obs_t, by)
-        if self.steps_per_call == 2:
-            return (
-                cells_t, jnp.zeros_like(cells_t),
-                firsts, lasts, jnp.zeros_like(firsts), jnp.zeros_like(lasts),
-            )
-        return (cells_t, firsts, lasts)
-
-    def _call(self, cells, firsts, lasts, prepared, dst):
-        _, obs_i8, _ = prepared
-        prevs, nexts = self._halo_edges(firsts, lasts)
-        return self.pf._pallas_step(
-            cells, prevs, nexts, obs_i8,
-            omega_f=float(self.params.omega),
-            interpret=self.pf._interpret(),
-            accel=self.pf.AccelSpec.lanes(self.params, self.params.ny),
-            dst=dst,
-        )
+        return super().init(cells_t, (obs_t, None, None))
 
     def final(self, carry):
         from lbm_tpu.ops.pallas_fused import transpose_state
@@ -267,10 +310,17 @@ def plan_sharding(params: Params, mesh: Mesh, kernel: str):
 
 
 def _shard_impl(params: Params, decomp: RowDecomposition, kernel: str,
-                paired: bool = True, transposed: bool = False):
+                n_iters: int, transposed: bool = False):
+    """Pick the per-shard step implementation, preferring the fused
+    two-step kernel (halved HBM traffic) whenever the iteration count
+    and block geometry allow, then aliased pairing on top."""
     if kernel == "pallas":
         cls = _TransposedPallasShardImpl if transposed else _PallasShardImpl
-        return cls(params, decomp, paired=paired)
+        if n_iters % 2 == 0:
+            impl = cls(params, decomp, paired=n_iters % 4 == 0, fuse=2)
+            if impl.fused == 2:
+                return impl
+        return cls(params, decomp, paired=n_iters % 2 == 0)
     return _ReferenceShardImpl(params, decomp)
 
 
@@ -289,7 +339,7 @@ def make_sharded_simulate(
     iters = params.max_iters if n_iters is None else n_iters
     kernel = _resolve_kernel(kernel)
     transposed, decomp, cells_spec, obs_spec = plan_sharding(params, mesh, kernel)
-    impl = _shard_impl(params, decomp, kernel, paired=iters % 2 == 0,
+    impl = _shard_impl(params, decomp, kernel, n_iters=iters,
                        transposed=transposed)
     spc = impl.steps_per_call
 
@@ -335,7 +385,7 @@ def make_sharded_chunk(
     replicated; the chunk's partials are psum'd once at the end)."""
     kernel = _resolve_kernel(kernel)
     transposed, decomp, cells_spec, obs_spec = plan_sharding(params, mesh, kernel)
-    impl = _shard_impl(params, decomp, kernel, paired=chunk_iters % 2 == 0,
+    impl = _shard_impl(params, decomp, kernel, n_iters=chunk_iters,
                        transposed=transposed)
     spc = impl.steps_per_call
 

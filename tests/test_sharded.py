@@ -185,3 +185,53 @@ def test_transposed_sharding_with_scattered_obstacles():
     shard = run_simulation(p, obstacles, kernel="pallas", mesh=make_mesh(8))
     np.testing.assert_allclose(base.cells, shard.cells, rtol=2e-5, atol=5e-8)
     np.testing.assert_allclose(base.av_vels, shard.av_vels, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n_dev,iters", [(4, 20), (2, 22)])
+def test_sharded_fused_two_step_rows(n_dev, iters):
+    """Sharded temporal fusion (pallas_fused._kernel2, ring=False): with
+    local_ny >= 8 the shard impl selects the fused two-step kernel; the
+    double edge entries ppermute over the ring and shard 0's south halo
+    row B IS the forced row ny-2, exercising the ACC channels for both
+    packed rows. Obstacles scattered on the forced row exercise the
+    guard on the halo copies."""
+    from lbm_tpu.parallel.halo import _shard_impl, plan_sharding
+
+    rng = np.random.default_rng(41)
+    p = small_params(ny=64, nx=32, max_iters=iters)
+    mesh = make_mesh(n_dev)
+    transposed, decomp, _, _ = plan_sharding(p, mesh, "pallas")
+    impl = _shard_impl(p, decomp, "pallas", n_iters=iters,
+                       transposed=transposed)
+    assert not transposed and impl.fused == 2
+    assert impl.steps_per_call == (4 if iters % 4 == 0 else 2)
+
+    obstacles = generate_obstacles(p.nx, p.ny)
+    obstacles[p.ny - 2, :] |= rng.random(p.nx) < 0.3
+    obstacles[p.ny - 2, 5] = False
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas", mesh=mesh)
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+
+
+def test_sharded_fused_two_step_transposed():
+    """Wide-grid x-sharding with the fused kernel: static lane forcing
+    applies to every copy, no ACC channels needed."""
+    from lbm_tpu.parallel.halo import _shard_impl, plan_sharding
+
+    rng = np.random.default_rng(43)
+    p = small_params(ny=16, nx=128, max_iters=20)
+    mesh = make_mesh(4)
+    transposed, decomp, _, _ = plan_sharding(p, mesh, "pallas")
+    impl = _shard_impl(p, decomp, "pallas", n_iters=20,
+                       transposed=transposed)
+    assert transposed and impl.fused == 2
+
+    obstacles = generate_obstacles(p.nx, p.ny)
+    obstacles |= rng.random((p.ny, p.nx)) < 0.1
+    obstacles[p.ny - 2, 7] = False
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas", mesh=mesh)
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
