@@ -121,6 +121,12 @@ def main(argv=None):
         "backend": jax.default_backend(),
         "kernel": args.kernel,
         "tolerance_pct": TOLERANCE,
+        "timing_note": (
+            "single-shot CLI runs can absorb the tunnelled TPU's "
+            "transient first-execution stall (~1-5 min, random per "
+            "program; docs/PERF.md methodology #4) in the Compute "
+            "phase; steady-state rates are measured by bench.py"
+        ),
         "scenes": [],
     }
     with tempfile.TemporaryDirectory() as td:
