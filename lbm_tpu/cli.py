@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="working precision: float32 matches the reference artifact; "
              "float64 reproduces the golden data's original code (CPU)",
     )
+    p.add_argument(
+        "--compilation-cache", default=None, metavar="DIR",
+        help="persistent XLA compilation cache directory (also via "
+             "LBM_COMPILATION_CACHE); repeat runs of a scene skip the "
+             "~20-40 s compile",
+    )
     return p
 
 
@@ -80,7 +86,16 @@ def main(argv: list[str] | None = None) -> int:
 
 def _main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    import os
+
     import numpy as np
+
+    cache = args.compilation_cache or os.environ.get("LBM_COMPILATION_CACHE")
+    if cache:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     dtype = np.float64 if args.precision == "float64" else np.float32
     if dtype is np.float64:

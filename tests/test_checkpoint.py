@@ -144,3 +144,28 @@ def test_f64_pallas_rejected_cleanly():
     # see test_float64.py for the real f64 trajectory check).
     with pytest.raises(ValueError, match="x64"):
         run_simulation(p64, obstacles, kernel="auto", n_iters=2)
+
+
+def test_pallas_fused_checkpoint_resume(tmp_path):
+    """Chunked checkpoint/resume through the fused pallas kernel: each
+    chunk re-gathers the double edge arrays from the checkpointed
+    lattice, so the trajectory must be independent of the chunking."""
+    p = small_params(ny=32, nx=32, max_iters=24)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    full = run_simulation(p, obstacles, kernel="pallas")
+    chunked = run_simulation(
+        p, obstacles, kernel="pallas",
+        checkpoint_every=8, checkpoint_file=tmp_path / "ck.npz",
+    )
+    np.testing.assert_allclose(full.cells, chunked.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(full.av_vels, chunked.av_vels, rtol=1e-4)
+
+    half = run_simulation(
+        p, obstacles, kernel="pallas", n_iters=12,
+        checkpoint_every=12, checkpoint_file=tmp_path / "ck2.npz",
+    )
+    resumed = run_simulation(
+        p, obstacles, kernel="pallas", resume_from=tmp_path / "ck2.npz",
+    )
+    np.testing.assert_allclose(full.cells, resumed.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(full.av_vels, resumed.av_vels, rtol=1e-4)

@@ -104,3 +104,34 @@ def test_d2q9_constants():
         assert D2Q9.CX[o] == -D2Q9.CX[k]
         assert D2Q9.CY[o] == -D2Q9.CY[k]
     assert np.isclose(D2Q9.W.sum(), 1.0)
+
+
+def test_compilation_cache_flag(tmp_path):
+    """--compilation-cache populates a persistent XLA cache dir so repeat
+    scene runs skip recompilation (production QoL over the reference's
+    ahead-of-time C build)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    cache = tmp_path / "xla_cache"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "from lbm_tpu.cli import main\n"
+        f"main(['/root/reference/input_128x128.params',"
+        f"'/root/reference/obstacles_128x128.dat','--kernel','reference',"
+        f"'--iters','100','--compilation-cache',r'{cache}',"
+        f"'--av-vels-file',r'{tmp_path / 'av.dat'}',"
+        f"'--final-state-file',r'{tmp_path / 'fs.dat'}'])\n"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=repo,
+        env={"PYTHONPATH": str(repo), "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root"},
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert cache.is_dir() and any(cache.iterdir()), (
+        "compilation cache directory should be populated"
+    )
