@@ -127,26 +127,53 @@ def main() -> int:
         "vs_baseline": round(glups / BASELINE_GLUPS, 4),
     }), flush=True)
 
-    # Secondary lines: stress grids (driver parses line 1 only).
+    # Secondary lines: stress grids (driver parses line 1 only). Each
+    # runs in its own subprocess with a hard timeout — the tunnel can
+    # die mid-session and a hung device call is not an Exception
+    # (CLAUDE.md: wrap TPU work in timeouts).
     import jax
 
     if jax.default_backend() != "cpu":
         for metric, nx, ny, iters, base in STRESS_GRIDS:
-            try:
-                g, _ = bench(nx=nx, ny=ny, iters=iters, kernel=kernel,
-                             repeats=2)
-                print(json.dumps({
-                    "metric": metric,
-                    "value": round(g, 4),
-                    "unit": "GLUPS",
-                    "vs_baseline": round(g / base, 4),
-                }), flush=True)
-            except Exception as exc:  # keep the headline line valid
-                print(json.dumps({
-                    "metric": metric,
-                    "error": f"{type(exc).__name__}: {exc}"[:300],
-                }), flush=True)
+            line = _stress_line(metric, nx, ny, iters, kernel, base)
+            print(json.dumps(line), flush=True)
     return 0
+
+
+def _stress_line(metric, nx, ny, iters, kernel, base,
+                 timeout_s: float = 900.0) -> dict:
+    """One stress-grid measurement in a timeout-guarded subprocess."""
+    import os
+    import subprocess
+
+    code = (
+        "import json, sys; sys.path.insert(0, sys.argv[1]);"
+        "from bench import bench;"
+        f"g, t = bench(nx={nx}, ny={ny}, iters={iters},"
+        f" kernel={kernel!r}, repeats=2);"
+        "print('RESULT ' + json.dumps({'glups': g}))"
+    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code, here],
+            capture_output=True, text=True, timeout=timeout_s, cwd=here,
+        )
+    except subprocess.TimeoutExpired:
+        return {"metric": metric, "error": f"timeout after {timeout_s:.0f}s"}
+    for line in res.stdout.splitlines():
+        if line.startswith("RESULT "):
+            g = json.loads(line[len("RESULT "):])["glups"]
+            return {
+                "metric": metric,
+                "value": round(g, 4),
+                "unit": "GLUPS",
+                "vs_baseline": round(g / base, 4),
+            }
+    return {
+        "metric": metric,
+        "error": (res.stderr.strip().splitlines() or ["no output"])[-1][:300],
+    }
 
 
 if __name__ == "__main__":

@@ -20,6 +20,28 @@ from jax.sharding import Mesh
 AXIS = "y"  # the single mesh axis name, rows of the lattice
 
 
+def provision_virtual_cpu(n_devices: int) -> None:
+    """Force an n-device virtual CPU platform — the TPU-native answer to
+    testing the decomposition without a cluster (SURVEY.md §4).
+
+    Must run before the first backend use (device queries, tracing).
+    Sets both the env vars AND jax.config: the TPU tunnel's
+    sitecustomize registers its backend programmatically, which beats
+    the env var alone (CLAUDE.md).
+    """
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f
+        for f in os.environ.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append(f"--xla_force_host_platform_device_count={n_devices}")
+    os.environ["XLA_FLAGS"] = " ".join(flags)
+    jax.config.update("jax_platforms", "cpu")
+
+
 def make_mesh(n_devices: int, devices=None) -> Mesh:
     """A 1-D mesh over the first ``n_devices`` local devices."""
     if devices is None:

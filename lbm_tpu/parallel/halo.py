@@ -336,6 +336,9 @@ def make_sharded_simulate(
     ``cells0`` (9, ny, nx) sharded P(None, 'y', None); ``obstacles``
     (ny, nx) sharded P('y', None); ``av_vels`` comes back replicated.
     """
+    from lbm_tpu.params import ensure_dtype_computable
+
+    ensure_dtype_computable(params)
     iters = params.max_iters if n_iters is None else n_iters
     kernel = _resolve_kernel(kernel)
     transposed, decomp, cells_spec, obs_spec = plan_sharding(params, mesh, kernel)
@@ -383,6 +386,9 @@ def make_sharded_chunk(
     ``(cells, obstacles, inv, av, t0) -> (cells, av)`` running
     ``chunk_iters`` steps that fill av_vels[t0:t0+chunk_iters] (av passed
     replicated; the chunk's partials are psum'd once at the end)."""
+    from lbm_tpu.params import ensure_dtype_computable
+
+    ensure_dtype_computable(params)
     kernel = _resolve_kernel(kernel)
     transposed, decomp, cells_spec, obs_spec = plan_sharding(params, mesh, kernel)
     impl = _shard_impl(params, decomp, kernel, n_iters=chunk_iters,

@@ -67,6 +67,21 @@ class Params:
         return self.dtype(self.density * self.accel / self.dtype(36.0))
 
 
+def ensure_dtype_computable(params: "Params") -> None:
+    """Refuse float64 params in a non-x64 process: jnp would silently
+    truncate to f32 and the results would be relabelled float64 on the
+    way out (the CLI enables x64 before building; library callers —
+    sharded or not — must too)."""
+    import jax
+
+    if params.dtype == np.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "params.dtype is float64 but jax_enable_x64 is disabled; "
+            "call jax.config.update('jax_enable_x64', True) before "
+            "building the simulation"
+        )
+
+
 def load_params(path: str | Path, dtype: type = np.float32) -> Params:
     """Parse a 7-line ``.params`` scene file (d2q9-bgk.c:522-528)."""
     path = Path(path)

@@ -34,12 +34,15 @@ import jax
 BYTES_PER_CELL_F32_MASK = (9 + 9) * 4 + 4
 FLOPS_PER_CELL = 130
 
-# Peak specs per chip generation: HBM GB/s and the f32-equivalent
-# TFLOP/s used by docs/PERF.md's ridge (v5e: 197e3 / 819 ≈ 240 FLOP/B).
+# Peak specs per chip generation: HBM GB/s and the chip's peak dense
+# TFLOP/s envelope (the bf16 MXU rate — docs/PERF.md's ridge uses it:
+# v5e 197e3 / 819 ≈ 240 FLOP/B). The VPU-only LBM kernel cannot reach
+# this envelope, so flops_utilisation reads low by construction; it
+# exists to show how memory-bound the kernel is, not as a VPU target.
 CHIP_PEAKS = {
-    "v5e": {"hbm_gbps": 819, "tflops_f32": 197.0},
-    "v5p": {"hbm_gbps": 2765, "tflops_f32": 459.0},
-    "v4": {"hbm_gbps": 1228, "tflops_f32": 275.0},
+    "v5e": {"hbm_gbps": 819, "tflops_peak": 197.0},
+    "v5p": {"hbm_gbps": 2765, "tflops_peak": 459.0},
+    "v4": {"hbm_gbps": 1228, "tflops_peak": 275.0},
 }
 
 
@@ -85,26 +88,35 @@ def trace(logdir: str):
 
 
 def roofline_report(
-    nx: int, ny: int, iters: int, seconds: float, chip: str = "v5e"
+    nx: int, ny: int, iters: int, seconds: float, chip: str = "v5e",
+    steps_per_pass: int = 1,
 ) -> dict:
-    """Throughput vs the chip's bandwidth/compute roofs."""
+    """Throughput vs the chip's bandwidth/compute roofs.
+
+    ``steps_per_pass``: temporal fusion depth of the measured kernel
+    (pallas_fused._kernel2 advances 2 steps per HBM pass, so its
+    physical traffic per step is BYTES_PER_CELL / 2 and the bandwidth
+    ceiling doubles — pass 2 for fused measurements or the report shows
+    >100% HBM utilisation).
+    """
     cells = nx * ny * iters
     glups = cells / seconds / 1e9
-    gbps = cells * BYTES_PER_CELL_F32_MASK / seconds / 1e9
+    bytes_per_step = BYTES_PER_CELL_F32_MASK / steps_per_pass
+    gbps = cells * bytes_per_step / seconds / 1e9
     gflops = cells * FLOPS_PER_CELL / seconds / 1e9
     peaks = CHIP_PEAKS.get(chip, CHIP_PEAKS["v5e"])
+    ai = FLOPS_PER_CELL / bytes_per_step
     return {
         "glups": glups,
         "effective_gbps": gbps,
         "effective_gflops": gflops,
         "hbm_utilisation": gbps / peaks["hbm_gbps"],
-        "flops_utilisation": gflops / (peaks["tflops_f32"] * 1e3),
-        "arithmetic_intensity": FLOPS_PER_CELL / BYTES_PER_CELL_F32_MASK,
+        "flops_utilisation": gflops / (peaks["tflops_peak"] * 1e3),
+        "arithmetic_intensity": ai,
         # Bandwidth speed-of-light for this kernel on this chip
-        # (docs/PERF.md: v5e 819/76 ≈ 10.8 GLUPS nominal).
-        "ceiling_glups": peaks["hbm_gbps"] / BYTES_PER_CELL_F32_MASK,
+        # (docs/PERF.md: v5e 819/76 ≈ 10.8 GLUPS unfused, 21.6 fused).
+        "ceiling_glups": peaks["hbm_gbps"] / bytes_per_step,
         "bound": "memory"
-        if FLOPS_PER_CELL / BYTES_PER_CELL_F32_MASK
-        < peaks["tflops_f32"] * 1e3 / peaks["hbm_gbps"]
+        if ai < peaks["tflops_peak"] * 1e3 / peaks["hbm_gbps"]
         else "compute",
     }

@@ -86,15 +86,9 @@ def _select_impl(kernel: str, params: Params, paired: bool = True,
             "the pallas kernel is float32-only; use --kernel reference "
             "with --precision float64"
         )
-    if params.dtype == np.float64 and not jax.config.jax_enable_x64:
-        # Without x64, jnp silently truncates to f32 and the results would
-        # be relabelled float64 on the way out (the CLI enables x64 before
-        # building; library callers must too).
-        raise ValueError(
-            "params.dtype is float64 but jax_enable_x64 is disabled; "
-            "call jax.config.update('jax_enable_x64', True) before "
-            "building the simulation"
-        )
+    from lbm_tpu.params import ensure_dtype_computable
+
+    ensure_dtype_computable(params)
     if kernel == "reference":
         return _SimpleImpl(
             lambda cells, obs: ref_ops.fused_step(cells, obs, w1, w2, omega)

@@ -48,7 +48,7 @@ def main(argv=None):
     # Roofs: memory (slope = HBM GB/s) and compute (flat).
     xs = np.logspace(-2, 3, 256)
     mem_roof = xs * peaks["hbm_gbps"]  # GFLOP/s
-    comp_roof = np.full_like(xs, peaks["tflops_f32"] * 1e3)
+    comp_roof = np.full_like(xs, peaks["tflops_peak"] * 1e3)
     ax.plot(xs, np.minimum(mem_roof, comp_roof), "k-", lw=2,
             label=f"{args.chip} roofline")
     ax.axvline(ai, color="grey", ls=":", lw=1)

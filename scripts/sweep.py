@@ -14,7 +14,6 @@ Usage:
 import argparse
 import itertools
 import json
-import os
 import sys
 import time
 from pathlib import Path
@@ -110,19 +109,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.platform == "cpu":
-        n = max(args.devices)
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        flags = [
-            f for f in os.environ.get("XLA_FLAGS", "").split()
-            if "xla_force_host_platform_device_count" not in f
-        ]
-        flags.append(f"--xla_force_host_platform_device_count={n}")
-        os.environ["XLA_FLAGS"] = " ".join(flags)
-        import jax
+        from lbm_tpu.parallel.decomp import provision_virtual_cpu
 
-        # sitecustomize registers the tunnel backend programmatically,
-        # which beats the env var — override post-import.
-        jax.config.update("jax_platforms", "cpu")
+        provision_virtual_cpu(max(args.devices))
 
     results = []
     for grid, kernel, nd in itertools.product(args.grids, args.kernels, args.devices):

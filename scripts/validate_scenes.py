@@ -61,12 +61,13 @@ def run_scene(scene: str, kernel: str, workdir: Path) -> dict:
     if res.returncode != 0:
         return {"scene": scene, "pass": False,
                 "error": res.stderr[-1000:], "wall_seconds": wall}
-    reynolds = float(
-        re.search(r"Reynolds number:\s+(\S+)", res.stdout).group(1)
-    )
-    compute = float(
-        re.search(r"Compute time:\s+(\S+)", res.stdout).group(1)
-    )
+    m_rey = re.search(r"Reynolds number:\s+(\S+)", res.stdout)
+    m_cmp = re.search(r"Compute time:\s+(\S+)", res.stdout)
+    if m_rey is None or m_cmp is None:
+        return {"scene": scene, "pass": False, "wall_seconds": wall,
+                "error": f"unexpected CLI stdout: {res.stdout[-500:]!r}"}
+    reynolds = float(m_rey.group(1))
+    compute = float(m_cmp.group(1))
 
     out = {
         "scene": scene,
@@ -86,7 +87,8 @@ def run_scene(scene: str, kernel: str, workdir: Path) -> dict:
              f"--av-vels-file={av}", f"--final-state-file={fs}"],
             capture_output=True, text=True, timeout=600,
         )
-        pcts = re.findall(r"= (-?[\d.]+)%", chk.stdout)
+        # check.py prints "{:.2g}%": plain or scientific notation.
+        pcts = re.findall(r"= (-?[\d.]+(?:[eE][+-]?\d+)?)%", chk.stdout)
         out["checker"] = "reference check.py (both files)"
         out["max_av_vels_pct"] = float(pcts[0]) if pcts else None
         out["max_final_state_pct"] = (
@@ -131,7 +133,11 @@ def main(argv=None):
     }
     with tempfile.TemporaryDirectory() as td:
         for scene in args.scenes:
-            r = run_scene(scene, args.kernel, Path(td))
+            try:
+                r = run_scene(scene, args.kernel, Path(td))
+            except Exception as exc:  # record, keep validating
+                r = {"scene": scene, "pass": False,
+                     "error": f"{type(exc).__name__}: {exc}"[:500]}
             print(json.dumps(r), flush=True)
             results["scenes"].append(r)
     results["ok"] = all(s.get("pass") for s in results["scenes"])

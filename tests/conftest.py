@@ -4,20 +4,9 @@ TPU-native answer to the reference's "multi-node only testable on the real
 cluster" gap (SURVEY.md §4).
 """
 
-import os
+from lbm_tpu.parallel.decomp import provision_virtual_cpu
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: env presets axon (the TPU)
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax
-
-# The TPU tunnel's sitecustomize registers its backend programmatically,
-# which beats the env var — override again post-import.
-jax.config.update("jax_platforms", "cpu")
+provision_virtual_cpu(8)
 
 import pathlib
 

@@ -18,7 +18,7 @@ def test_cost_model_constants_match_perf_doc():
     assert FLOPS_PER_CELL == 130
     ai = FLOPS_PER_CELL / BYTES_PER_CELL_F32_MASK
     assert 1.6 < ai < 1.8  # PERF.md: "Arithmetic intensity ~= 1.7 FLOP/B"
-    ridge = CHIP_PEAKS["v5e"]["tflops_f32"] * 1e3 / CHIP_PEAKS["v5e"]["hbm_gbps"]
+    ridge = CHIP_PEAKS["v5e"]["tflops_peak"] * 1e3 / CHIP_PEAKS["v5e"]["hbm_gbps"]
     assert 235 < ridge < 245  # PERF.md: "ridge of ~240 FLOP/B"
 
 
@@ -42,3 +42,18 @@ def test_phase_timers_report_format():
         pass
     out = t.report()
     assert "Elapsed Init time:" in out and "Elapsed Compute time:" in out
+
+
+def test_roofline_fused_steps_per_pass():
+    """Fused (2 steps/HBM pass) measurements halve physical traffic: the
+    ceiling doubles and the PR's own 16.6-GLUPS fused run must sit UNDER
+    100% HBM utilisation, not at 154%."""
+    iters = 1000
+    seconds = 16384 * 1024 * iters / 16.6e9  # the measured fused rate
+    r1 = roofline_report(16384, 1024, iters, seconds, chip="v5e")
+    r2 = roofline_report(16384, 1024, iters, seconds, chip="v5e",
+                         steps_per_pass=2)
+    assert r1["hbm_utilisation"] > 1.0  # unfused accounting overshoots
+    assert r2["hbm_utilisation"] < 1.0
+    assert abs(r2["ceiling_glups"] - 2 * 819 / 76) < 1e-9
+    assert r2["bound"] == "memory"

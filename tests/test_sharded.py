@@ -235,3 +235,21 @@ def test_sharded_fused_two_step_transposed():
     got = run_simulation(p, obstacles, kernel="pallas", mesh=mesh)
     np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
     np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+
+
+def test_sharded_f64_without_x64_raises():
+    """The x64 guard must cover the sharded builders too, not just the
+    single-device runner (review finding r2)."""
+    import pytest as _pytest
+
+    from lbm_tpu.parallel.halo import make_sharded_chunk, make_sharded_simulate
+
+    p = small_params(ny=16, dtype=np.float64)
+    mesh = make_mesh(2)
+    with _pytest.raises(ValueError, match="x64"):
+        make_sharded_simulate(p, mesh, kernel="reference")
+    with _pytest.raises(ValueError, match="x64"):
+        make_sharded_chunk(p, mesh, kernel="reference", chunk_iters=4)
+    with _pytest.raises(ValueError, match="x64"):
+        run_simulation(p, generate_obstacles(p.nx, p.ny),
+                       kernel="reference", mesh=mesh)
