@@ -8,7 +8,7 @@ AV_VELS_FILE ?= ./av_vels.dat
 REF_FINAL_STATE_FILE ?= /root/reference/check/128x128.final_state.dat
 REF_AV_VELS_FILE ?= /root/reference/check/128x128.av_vels.dat
 
-.PHONY: all native test check bench clean
+.PHONY: all native test check bench validate mosaic clean
 
 all: native
 
@@ -26,6 +26,16 @@ check:
 
 bench:
 	$(PY) bench.py
+
+# Run every official scene through the CLI and gate with the
+# reference's own checker (emits docs/artifacts/validate_scenes.json).
+validate:
+	$(PY) scripts/validate_scenes.py
+
+# Prove the sharded pallas program under real Mosaic with a 1-device
+# mesh (emits docs/artifacts/mosaic_shardmap.json).
+mosaic:
+	$(PY) scripts/tpu_mosaic_check.py
 
 clean:
 	rm -rf build lbm_tpu/*.so lbm_tpu/__pycache__ tests/__pycache__

@@ -95,7 +95,9 @@ def _main(argv: list[str] | None = None) -> int:
         import jax
 
         jax.config.update("jax_compilation_cache_dir", str(cache))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Persist every program: the solver compiles a handful of large
+        # programs per scene, never many small ones.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     dtype = np.float64 if args.precision == "float64" else np.float32
     if dtype is np.float64:

@@ -74,8 +74,10 @@ ACC_CH = Q + 1  # == 10: accel-line flag (sharded dynamic forcing)
 SIGMA = (0, 2, 1, 4, 3, 5, 8, 7, 6)
 # VMEM budget per DMA slot (two slots live at once, plus the pipelined
 # output and obstacle blocks). Tunable: bigger blocks amortise per-block
-# overheads; the scoped-VMEM limit is raised accordingly below.
-_SLOT_BYTES = int(os.environ.get("LBM_PALLAS_SLOT_BYTES", 3 * 1024 * 1024))
+# overheads; the scoped-VMEM limit is raised accordingly below. 6 MiB
+# (by=128 on 1024-lane grids) measured best across every benchmark
+# shape at fusion depth 4 (docs/PERF.md).
+_SLOT_BYTES = int(os.environ.get("LBM_PALLAS_SLOT_BYTES", 6 * 1024 * 1024))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -458,73 +460,67 @@ def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret,
 
 
 # ---------------------------------------------------------------------------
-# Fused two-step kernel (temporal blocking)
+# Fused multi-step kernel (temporal blocking, parametric depth)
 # ---------------------------------------------------------------------------
 #
 # Large states (>= ~600 MB) are honestly HBM-bound: the 1-step kernel
 # measured ~8.8 GLUPS at 16384x1024 across every block size = ~640 GB/s
-# effective, 78% of the v5e's nominal 819 GB/s (docs/PERF.md). The only
-# way past that wall is to advance TWO timesteps per HBM pass: read the
-# lattice once, step twice in VMEM, write once — halving per-step
-# traffic (the classic temporal-blocking stencil transform; the
-# reference's version of this ceiling is report_mpi/report.tex:158).
+# effective, 78% of the v5e's nominal 819 GB/s (docs/PERF.md). The way
+# past that wall is to advance ``depth`` timesteps per HBM pass: read
+# the lattice once, step D times in VMEM, write once — dividing
+# per-step traffic by D (the classic temporal-blocking stencil
+# transform; the reference's version of this ceiling is
+# report_mpi/report.tex:158).
 #
-# Per block the pass needs state-t rows [s-2, s+by+2), so edge arrays
-# carry TWO rows per block side (QP2 channels: row A = the outermost
-# row, speeds 0-8 + obs flags in ch 9; row B = second row in, speeds
-# 16-24 + obs in ch 25). Step 1 computes the by interior rows plus the
-# two boundary rows s-1 and s+by (redundantly recomputed by the
-# neighbouring blocks — ~2/by extra compute, free under a memory-bound
-# roof); step 2 consumes them in registers. tot_u for step 1 counts
-# only the block's owned rows, so the union over blocks is exact.
-# Acceleration applies to every state-t copy (body + 4 halo rows) and
-# every step-1 output (interior + 2 boundary rows) with static
-# owner-block factors, so ANY forced-row position is in-kernel — the
-# 1-step kernel's block-edge fallback is structurally unnecessary here.
+# Per block a D-deep pass needs state-t rows [s-D, s+by+D), so edge
+# arrays carry D rows per block side (slot layout below). Each stage
+# computes the by interior rows plus a shrinking stack of boundary rows
+# (D-1, D-2, ... per side — redundantly recomputed by the neighbouring
+# blocks, ~D^2/by extra compute, cheap under a memory-bound roof).
+# tot_u at every stage counts only the block's owned rows, so the union
+# over blocks is exact per step. Acceleration applies to every loaded
+# copy and every intermediate stage's outputs with static owner-block
+# factors (or the dynamic ACC channels under sharding), so ANY
+# forced-row position stays in-kernel — the 1-step kernel's block-edge
+# fallback is structurally unnecessary here.
 
-QP2 = 32
-OBS_CH_A = Q  # 9: obstacle flags of edge row A (outermost)
-ACC_CH_A = Q + 1  # 10: accel-line flag of row A (sharded dynamic forcing)
-ROW_B = 16  # channel base of edge row B (second row in)
-OBS_CH_B = ROW_B + Q  # 25
-ACC_CH_B = ROW_B + Q + 1  # 26
+# Edge entries pack ``depth`` rows per block side at EDGE_STRIDE-channel
+# intervals: row slot j holds speeds [16j, 16j+9), obstacle flags at
+# 16j+9 and accel-line flags at 16j+10 (sharded dynamic forcing). For
+# firsts entries slot j = global row s+j; for lasts entries slot j =
+# global row s+by-1-j (slot 0 is always the outermost row).
+EDGE_STRIDE = 16
+OBS_OFF = Q  # +9 within a row slot
+ACC_OFF = Q + 1  # +10
 
 
-def gather_edge_rows2(interior, obstacles, by, accel_mask=None):
-    """Per-block double edge rows ``(firsts2, lasts2)`` of shape
-    (n_blocks, QP2, nx): firsts2[b] packs rows b*by (A) and b*by+1 (B);
-    lasts2[b] packs rows b*by+by-1 (A) and b*by+by-2 (B), each with its
-    obstacle flags (and accel-line flags when ``accel_mask`` is given —
-    the sharded dynamic-forcing path)."""
+def gather_edge_rows_fused(interior, obstacles, by, depth, accel_mask=None):
+    """Per-block ``depth``-deep edge rows ``(firsts, lasts)`` of shape
+    (n_blocks, EDGE_STRIDE*depth, nx) in the slot layout above."""
     obs_f = obstacles.astype(jnp.float32)
     acc_f = (
         accel_mask.astype(jnp.float32)
         if accel_mask is not None
         else jnp.zeros_like(obs_f)
     )
+    nx = interior.shape[2]
 
-    def build(rows_a, obs_a, acc_a, rows_b, obs_b, acc_b):
-        base_a = rows_a.transpose(1, 0, 2)  # (n_blocks, 9, nx)
-        base_b = rows_b.transpose(1, 0, 2)
-        n_blocks, _, nx = base_a.shape
-        pad_a = jnp.zeros((n_blocks, ROW_B - Q - 2, nx), jnp.float32)
-        pad_b = jnp.zeros((n_blocks, QP2 - ROW_B - Q - 2, nx), jnp.float32)
-        return jnp.concatenate(
-            [base_a, obs_a[:, None, :], acc_a[:, None, :], pad_a,
-             base_b, obs_b[:, None, :], acc_b[:, None, :], pad_b], axis=1
-        )
+    def build(row_offsets):
+        parts = []
+        n_blocks = interior.shape[1] // by
+        pad = jnp.zeros((n_blocks, EDGE_STRIDE - Q - 2, nx), jnp.float32)
+        for off in row_offsets:
+            parts += [
+                interior[:, off::by, :].transpose(1, 0, 2),
+                obs_f[off::by, :][:, None, :],
+                acc_f[off::by, :][:, None, :],
+                pad,
+            ]
+        return jnp.concatenate(parts, axis=1)
 
-    firsts2 = build(
-        interior[:, ::by, :], obs_f[::by, :], acc_f[::by, :],
-        interior[:, 1::by, :], obs_f[1::by, :], acc_f[1::by, :],
-    )
-    lasts2 = build(
-        interior[:, by - 1 :: by, :], obs_f[by - 1 :: by, :],
-        acc_f[by - 1 :: by, :],
-        interior[:, by - 2 :: by, :], obs_f[by - 2 :: by, :],
-        acc_f[by - 2 :: by, :],
-    )
-    return firsts2, lasts2
+    firsts = build([j for j in range(depth)])
+    lasts = build([by - 1 - j for j in range(depth)])
+    return firsts, lasts
 
 
 def _row_forced_factor(i, offset, by, h, accel):
@@ -570,11 +566,11 @@ def _pull_interior(body, prev_a, next_a, row_ids, by, nx):
     return streamed
 
 
-def _pull_boundary_pair(below, mid, above, nx):
-    """Streamed planes for the stacked (2, nx) boundary rows: row 0 is
-    the block's row s-1, row 1 its row s+by. ``below``/``mid``/``above``
-    are per-speed lists of (2, nx) source stacks (rows one below / at /
-    one above each boundary row)."""
+def _pull_stacked(below, mid, above, nx):
+    """Streamed planes for a stack of boundary rows: each output row r
+    pulls cy=+1 speeds from ``below[k]`` row r, cy=0 from ``mid[k]`` row
+    r, cy=-1 from ``above[k]`` row r (per-speed lists of aligned
+    (m, nx) source stacks)."""
     streamed = []
     for k in range(Q):
         cy = int(D2Q9.CY[k])
@@ -586,16 +582,24 @@ def _pull_boundary_pair(below, mid, above, nx):
     return streamed
 
 
-def _kernel2(
+def _cat_rows(*parts):
+    """Concatenate (m, nx) row stacks, dropping statically-empty ones
+    (zero-size operands don't survive Mosaic lowering)."""
+    parts = [p for p in parts if p.shape[0] > 0]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _kernel_fused(
     interior_ref,  # (9, H, nx) HBM
-    lasts_ref,  # (n_blocks, QP2, nx) HBM: current lasts2 (ring) / prevs2
-    firsts_ref,  # (n_blocks, QP2, nx) HBM: current firsts2 / nexts2
+    lasts_ref,  # (n_blocks, 16*depth, nx) HBM: lasts (ring) / prev entries
+    firsts_ref,  # (n_blocks, 16*depth, nx) HBM: firsts (ring) / next entries
     obs_ref,  # (by, nx) VMEM block (int8, auto-pipelined)
     *rest,
     by: int,
     h: int,
     omega: np.float32,
     accel: AccelSpec,
+    depth: int,
     ring: bool = True,
     has_dst: bool = False,
     dynamic_accel: bool = False,
@@ -610,6 +614,7 @@ def _kernel2(
          body_scr, prev_scr, next_scr, sems) = rest
     i = pl.program_id(0)
     n = pl.num_programs(0)
+    D = depth
 
     def dmas(block, slot):
         if ring:
@@ -659,39 +664,48 @@ def _kernel2(
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (by, nx), 0)
 
     body = [body_scr[slot, k] for k in range(Q)]
-    # prev entry = lasts2 of the block below: A = row s-1, B = row s-2.
-    # next entry = firsts2 of the block above: A = row s+by, B = s+by+1.
-    pa = [prev_scr[slot, k] for k in range(Q)]
-    pb = [prev_scr[slot, ROW_B + k] for k in range(Q)]
-    na = [next_scr[slot, k] for k in range(Q)]
-    nb = [next_scr[slot, ROW_B + k] for k in range(Q)]
-    pa_obs = prev_scr[slot, OBS_CH_A]
-    pb_obs = prev_scr[slot, OBS_CH_B]
-    na_obs = next_scr[slot, OBS_CH_A]
-    nb_obs = next_scr[slot, OBS_CH_B]
+    # Boundary stacks at state t, ordered ascending by global row:
+    # T[k][r] = row s-D+r (prev entry slot D-1-r, since slot 0 is the
+    # row adjacent to the block); U[k][r] = row s+by+r (next slot r).
+    def prev_ch(r, off):
+        return prev_scr[slot, EDGE_STRIDE * (D - 1 - r) + off]
 
-    # --- acceleration at state t, on every loaded copy -------------------
+    def next_ch(r, off):
+        return next_scr[slot, EDGE_STRIDE * r + off]
+
+    T = [
+        jnp.stack([prev_ch(r, k) for r in range(D)]) for k in range(Q)
+    ]
+    U = [
+        jnp.stack([next_ch(r, k) for r in range(D)]) for k in range(Q)
+    ]
+    T_obs = jnp.stack([prev_ch(r, OBS_OFF) for r in range(D)])
+    U_obs = jnp.stack([next_ch(r, OBS_OFF) for r in range(D)])
+
+    # --- accel line indicators for every copy -----------------------------
+    ones_row = jnp.ones((1, nx), jnp.float32)
     if dynamic_accel:
         # Sharded SPMD forcing: the owning line is dynamic per shard;
         # the body's indicator arrives as an i8 mask input and every
         # edge-entry row carries its own flag in the ACC channels.
         body_line = (accmask_ref[:] != 0).astype(jnp.float32)
-        f_pa = prev_scr[slot, ACC_CH_A]
-        f_pb = prev_scr[slot, ACC_CH_B]
-        f_na = next_scr[slot, ACC_CH_A]
-        f_nb = next_scr[slot, ACC_CH_B]
-        bnd_line = jnp.stack([f_pa, f_na])
+        T_line = jnp.stack([prev_ch(r, ACC_OFF) for r in range(D)])
+        U_line = jnp.stack([next_ch(r, ACC_OFF) for r in range(D)])
     elif accel.axis == 0:
         lr = accel.index % by
         ab = accel.index // by
         owner = jnp.where(i == np.int32(ab), np.float32(1.0), np.float32(0.0))
         body_line = (row_ids == np.int32(lr)).astype(jnp.float32) * owner
-        f_pa = _row_forced_factor(i, -1, by, h, accel)
-        f_pb = _row_forced_factor(i, -2, by, h, accel)
-        f_na = _row_forced_factor(i, by, by, h, accel)
-        f_nb = _row_forced_factor(i, by + 1, by, h, accel)
-        ones_row = jnp.ones((1, nx), jnp.float32)
-        bnd_line = jnp.concatenate([ones_row * f_pa, ones_row * f_na])
+        # Static owner factors per boundary row (global rows s-D+r and
+        # s+by+r — any forced-row position stays in-kernel).
+        T_line = _cat_rows(*[
+            ones_row * _row_forced_factor(i, r - D, by, h, accel)
+            for r in range(D)
+        ])
+        U_line = _cat_rows(*[
+            ones_row * _row_forced_factor(i, by + r, by, h, accel)
+            for r in range(D)
+        ])
     else:
         lane1 = (
             jax.lax.broadcasted_iota(jnp.int32, (nx,), 0)
@@ -701,80 +715,93 @@ def _kernel2(
             jax.lax.broadcasted_iota(jnp.int32, (by, nx), 1)
             == np.int32(accel.index)
         ).astype(jnp.float32)
-        f_pa = f_pb = f_na = f_nb = lane1
-        bnd_line = jnp.stack([lane1, lane1])
+        T_line = U_line = jnp.stack([lane1] * D)
 
-    body = _accel_rows2(body, obs_body_f, body_line, accel)
-    pa = _accel_rows2(pa, pa_obs, f_pa, accel)
-    pb = _accel_rows2(pb, pb_obs, f_pb, accel)
-    na = _accel_rows2(na, na_obs, f_na, accel)
-    nb = _accel_rows2(nb, nb_obs, f_nb, accel)
+    # --- D fused timesteps: accelerate -> stream, shrinking the boundary
+    # stacks by one row per side per stage (redundant recompute of
+    # 2*(D-1+...+1) rows per block, ~D^2/by extra work).
+    tots = []
+    for stage in range(D):
+        m = D - stage  # boundary rows per side at this stage's entry
+        body = _accel_rows2(body, obs_body_f, body_line, accel)
+        T = _accel_rows2(T, T_obs[:m], T_line[:m], accel)
+        U = _accel_rows2(U, U_obs[:m], U_line[:m], accel)
 
-    # --- step 1: t -> t+1 on rows [s-1, s+by] ----------------------------
-    mid_src = _pull_interior(body, pa, na, row_ids, by, nx)
-    mid1, tot1 = _bgk_update(mid_src, obstacles, omega)
-    mid1 = [mid1[k] for k in range(Q)]
+        prev_adj = [T[k][m - 1] for k in range(Q)]
+        next_adj = [U[k][0] for k in range(Q)]
+        src = _pull_interior(body, prev_adj, next_adj, row_ids, by, nx)
+        new, tot = _bgk_update(src, obstacles, omega)
+        tots.append(tot)
 
-    # Boundary rows s-1 (stack row 0) and s+by (stack row 1), batched.
-    below = [jnp.stack([pb[k], body[k][by - 1]]) for k in range(Q)]
-    mid_b = [jnp.stack([pa[k], na[k]]) for k in range(Q)]
-    above = [jnp.stack([body[k][0], nb[k]]) for k in range(Q)]
-    bnd_obs_f = jnp.stack([pa_obs, na_obs])
-    bnd_obs = bnd_obs_f > np.float32(0.5)
-    bnd_src = _pull_boundary_pair(below, mid_b, above, nx)
-    bnd1, _ = _bgk_update(bnd_src, bnd_obs, omega)  # tot not owned here
-    bnd1 = [bnd1[k] for k in range(Q)]
+        if m > 1:
+            # T' rows s-(m-1)..s-1 pull from [T; body row 0];
+            # U' rows s+by..s+by+m-2 pull from [body row by-1; U].
+            t_below = [T[k][0 : m - 1] for k in range(Q)]
+            t_mid = [T[k][1:m] for k in range(Q)]
+            t_above = [
+                _cat_rows(T[k][2:m], body[k][0:1]) for k in range(Q)
+            ]
+            u_below = [
+                _cat_rows(body[k][by - 1 : by], U[k][0 : m - 2])
+                for k in range(Q)
+            ]
+            u_mid = [U[k][0 : m - 1] for k in range(Q)]
+            u_above = [U[k][1:m] for k in range(Q)]
+            t_src = _pull_stacked(t_below, t_mid, t_above, nx)
+            u_src = _pull_stacked(u_below, u_mid, u_above, nx)
+            T_obs = T_obs[1:m]
+            U_obs = U_obs[0 : m - 1]
+            T_line = T_line[1:m]
+            U_line = U_line[0 : m - 1]
+            T_new, _ = _bgk_update(t_src, T_obs > np.float32(0.5), omega)
+            U_new, _ = _bgk_update(u_src, U_obs > np.float32(0.5), omega)
+            T = [T_new[k] for k in range(Q)]
+            U = [U_new[k] for k in range(Q)]
+        body = [new[k] for k in range(Q)]
 
-    # --- acceleration at state t+1 ---------------------------------------
-    mid1 = _accel_rows2(mid1, obs_body_f, body_line, accel)
-    bnd1 = _accel_rows2(bnd1, bnd_obs_f, bnd_line, accel)
-
-    # --- step 2: t+1 -> t+2 on rows [s, s+by) ----------------------------
-    top1 = [bnd1[k][0] for k in range(Q)]
-    bot1 = [bnd1[k][1] for k in range(Q)]
-    out_src = _pull_interior(mid1, top1, bot1, row_ids, by, nx)
-    new, tot2 = _bgk_update(out_src, obstacles, omega)
     out_ref[:] = new
 
-    # --- export the new state's double edge rows --------------------------
-    obs_f = obs_body_f
+    # --- export the new state's depth-deep edge rows ----------------------
     if dynamic_accel:
         acc_f = (accmask_ref[:] != 0).astype(jnp.float32)
     else:
         acc_f = jnp.zeros((by, nx), jnp.float32)
-    pad_a = jnp.zeros((ROW_B - Q - 2, nx), jnp.float32)
-    pad_b = jnp.zeros((QP2 - ROW_B - Q - 2, nx), jnp.float32)
-    firsts_out_ref[0] = jnp.concatenate(
-        [new[:, 0, :], obs_f[0:1, :], acc_f[0:1, :], pad_a,
-         new[:, 1, :], obs_f[1:2, :], acc_f[1:2, :], pad_b], axis=0
-    )
-    lasts_out_ref[0] = jnp.concatenate(
-        [new[:, by - 1, :], obs_f[by - 1 : by, :], acc_f[by - 1 : by, :],
-         pad_a,
-         new[:, by - 2, :], obs_f[by - 2 : by - 1, :],
-         acc_f[by - 2 : by - 1, :], pad_b], axis=0
-    )
+    pad = jnp.zeros((EDGE_STRIDE - Q - 2, nx), jnp.float32)
+
+    def entry(rows):
+        parts = []
+        for r in rows:
+            parts += [
+                new[:, r, :], obs_body_f[r : r + 1, :],
+                acc_f[r : r + 1, :], pad,
+            ]
+        return jnp.concatenate(parts, axis=0)
+
+    firsts_out_ref[0] = entry([j for j in range(D)])
+    lasts_out_ref[0] = entry([by - 1 - j for j in range(D)])
 
     @pl.when(i == 0)
     def _():
-        tot_ref[0, 0] = tot1
-        tot_ref[0, 1] = tot2
+        for d in range(D):
+            tot_ref[0, d] = tots[d]
 
     @pl.when(i > 0)
     def _():
-        tot_ref[0, 0] = tot_ref[0, 0] + tot1
-        tot_ref[0, 1] = tot_ref[0, 1] + tot2
+        for d in range(D):
+            tot_ref[0, d] = tot_ref[0, d] + tots[d]
 
 
-def _pallas_step2(interior, firsts2, lasts2, obs_i8, *, omega_f, interpret,
-                  accel, ring=True, dst=None, accel_mask=None):
-    """One fused TWO-step pass. Returns
-    ``(new, firsts2', lasts2', tot1, tot2)`` where the edge arrays are
-    the t+2 state's double edge rows and tot1/tot2 the per-step |u| sums.
+def _pallas_step_fused(interior, firsts, lasts, obs_i8, *, omega_f,
+                       interpret, accel, depth, ring=True, dst=None,
+                       accel_mask=None):
+    """One fused ``depth``-step pass. Returns
+    ``(new, firsts', lasts', tots)`` where the edge arrays are the
+    t+depth state's depth-deep edge rows and ``tots`` is the (depth,)
+    per-step |u| sums, in step order.
 
-    ``ring=True``: periodic y, the kernel ring-indexes lasts2/firsts2 as
-    its neighbour entries. ``ring=False``: sharded mode — ``lasts2`` /
-    ``firsts2`` are explicit per-block prevs2/nexts2 arrays (boundary
+    ``ring=True``: periodic y, the kernel ring-indexes lasts/firsts as
+    its neighbour entries. ``ring=False``: sharded mode — ``lasts`` /
+    ``firsts`` are explicit per-block prev/next entry arrays (boundary
     entries arrived by ppermute). ``accel_mask``: dynamic SPMD forcing
     (``accel`` still supplies deltas/guards; the line indicator comes
     from the mask and the edge ACC channels).
@@ -784,10 +811,12 @@ def _pallas_step2(interior, firsts2, lasts2, obs_i8, *, omega_f, interpret,
     by = _pick_block_rows(h, nx)
     n_blocks = h // by
     omega = np.float32(omega_f)
+    qpd = EDGE_STRIDE * depth
 
     kernel = functools.partial(
-        _kernel2, by=by, h=h, omega=omega, accel=accel, ring=ring,
-        has_dst=dst is not None, dynamic_accel=accel_mask is not None,
+        _kernel_fused, by=by, h=h, omega=omega, accel=accel, depth=depth,
+        ring=ring, has_dst=dst is not None,
+        dynamic_accel=accel_mask is not None,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -795,7 +824,7 @@ def _pallas_step2(interior, firsts2, lasts2, obs_i8, *, omega_f, interpret,
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
-    operands = [interior, lasts2, firsts2, obs_i8]
+    operands = [interior, lasts, firsts, obs_i8]
     if accel_mask is not None:
         in_specs.append(
             pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -813,20 +842,20 @@ def _pallas_step2(interior, firsts2, lasts2, obs_i8, *, omega_f, interpret,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((Q, by, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QP2, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QP2, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, qpd, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qpd, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, depth), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((q, h, nx), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, QP2, nx), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, QP2, nx), jnp.float32),
-            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, qpd, nx), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, qpd, nx), jnp.float32),
+            jax.ShapeDtypeStruct((1, depth), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, Q, by, nx), jnp.float32),
-            pltpu.VMEM((2, QP2, nx), jnp.float32),
-            pltpu.VMEM((2, QP2, nx), jnp.float32),
+            pltpu.VMEM((2, qpd, nx), jnp.float32),
+            pltpu.VMEM((2, qpd, nx), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -837,14 +866,14 @@ def _pallas_step2(interior, firsts2, lasts2, obs_i8, *, omega_f, interpret,
             ),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=int(200 * h * nx),
+            flops=int(100 * depth * h * nx),
             bytes_accessed=int((2 * Q * 4 + 4) * h * nx),
-            transcendentals=int(2 * h * nx),
+            transcendentals=int(depth * h * nx),
         ),
         input_output_aliases=aliases,
         interpret=interpret,
     )(*operands)
-    return new, firsts_o, lasts_o, tot[0, 0], tot[0, 1]
+    return new, firsts_o, lasts_o, tot[0]
 
 
 def _edge_pad(row9, nx):
@@ -918,11 +947,12 @@ class CarryStep:
         row = self._h - 2
         self._by = by
         self._in_kernel = by >= 3 and row % by not in (0, by - 1)
-        # Temporal fusion needs 8-aligned blocks (double edge rows +
-        # boundary recompute assume the standard tile geometry).
-        self.fused = 2 if (fuse == 2 and by % 8 == 0) else 1
-        if self.fused == 2:
-            self.steps_per_call = 4 if paired else 2
+        # Temporal fusion needs 8-aligned blocks (deep edge rows +
+        # boundary recompute assume the standard tile geometry, and
+        # by >= 2*depth keeps single-block wrap consistent).
+        self.fused = fuse if (fuse > 1 and by % 8 == 0 and by >= 2 * fuse) else 1
+        if self.fused > 1:
+            self.steps_per_call = self.fused * (2 if paired else 1)
         else:
             self.steps_per_call = 2 if (paired and self._in_kernel) else 1
 
@@ -952,9 +982,11 @@ class CarryStep:
     def init(self, cells, prepared):
         obstacles, _ = prepared
         cells = self._transform_in(cells)
-        if self.fused == 2:
-            firsts, lasts = gather_edge_rows2(cells, obstacles, self._by)
-            if self.steps_per_call == 4:
+        if self.fused > 1:
+            firsts, lasts = gather_edge_rows_fused(
+                cells, obstacles, self._by, self.fused
+            )
+            if self.steps_per_call == 2 * self.fused:
                 return (
                     cells, jnp.zeros_like(cells),
                     firsts, lasts,
@@ -978,30 +1010,30 @@ class CarryStep:
 
     def step(self, carry, prepared):
         obstacles, obs_i8 = prepared
-        if self.fused == 2:
+        if self.fused > 1:
             accel = self._accel_spec()
-            if self.steps_per_call == 4:
+            if self.steps_per_call == 2 * self.fused:
                 cells_a, cells_b, fa, la, fb, lb = carry
-                n1, f1, l1, t1a, t1b = _pallas_step2(
+                n1, f1, l1, tots1 = _pallas_step_fused(
                     cells_a, fa, la, obs_i8, omega_f=self.omega,
-                    interpret=_interpret(), accel=accel,
+                    interpret=_interpret(), accel=accel, depth=self.fused,
                     dst=(cells_b, fb, lb),
                 )
-                n2, f2, l2, t2a, t2b = _pallas_step2(
+                n2, f2, l2, tots2 = _pallas_step_fused(
                     n1, f1, l1, obs_i8, omega_f=self.omega,
-                    interpret=_interpret(), accel=accel,
+                    interpret=_interpret(), accel=accel, depth=self.fused,
                     dst=(cells_a, fa, la),
                 )
                 return (
                     (n2, n1, f2, l2, f1, l1),
-                    jnp.stack([t1a, t1b, t2a, t2b]),
+                    jnp.concatenate([tots1, tots2]),
                 )
             cells, firsts, lasts = carry
-            new, f2, l2, t1, t2 = _pallas_step2(
+            new, f2, l2, tots = _pallas_step_fused(
                 cells, firsts, lasts, obs_i8, omega_f=self.omega,
-                interpret=_interpret(), accel=accel,
+                interpret=_interpret(), accel=accel, depth=self.fused,
             )
-            return (new, f2, l2), jnp.stack([t1, t2])
+            return (new, f2, l2), tots
         if self.steps_per_call == 2:
             cells_a, cells_b, fa, la, fb, lb = carry
             accel = self._accel_spec()
@@ -1073,21 +1105,30 @@ class TransposedCarryStep(CarryStep):
             self.steps_per_call = 2 if paired else 1
 
 
+def _max_fuse_depth() -> int:
+    """Deepest temporal fusion to attempt (experiment knob)."""
+    return int(os.environ.get("LBM_PALLAS_DEPTH", 4))
+
+
 def make_carry_step(params: Params, ny: int, nx: int, paired: bool = True,
                     n_iters: int | None = None):
     """Pick the execution layout (transposed when the grid is much wider
-    than tall) and the temporal fusion level: the two-step kernel halves
-    per-step HBM traffic and is used whenever the iteration count and
-    block geometry allow."""
+    than tall) and the temporal fusion depth: a depth-D pass divides
+    per-step HBM traffic by D; the deepest depth the iteration count and
+    block geometry allow wins (every official scene's maxIters divides
+    by 4)."""
     cls = (
         TransposedCarryStep
         if nx >= 2 * ny and nx % 8 == 0
         else CarryStep
     )
-    if n_iters is not None and n_iters % 2 == 0:
-        impl = cls(params, paired=paired and n_iters % 4 == 0, fuse=2)
-        if impl.fused == 2:
-            return impl
+    if n_iters is not None:
+        for d in (8, 4, 2):
+            if d <= _max_fuse_depth() and n_iters % d == 0:
+                impl = cls(params, paired=paired and n_iters % (2 * d) == 0,
+                           fuse=d)
+                if impl.fused == d:
+                    return impl
     return cls(params, paired=paired)
 
 

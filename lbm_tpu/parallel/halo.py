@@ -122,12 +122,14 @@ class _PallasShardImpl:
         self.decomp = decomp
         h_local, lanes = self._local_shape(params, decomp)
         by = pf._pick_block_rows(h_local, lanes)
-        # Temporal fusion (two steps per pass, pallas_fused._kernel2)
-        # needs 8-aligned blocks; the double edge entries ride the same
+        # Temporal fusion (depth steps per pass, pallas_fused._kernel_fused)
+        # needs 8-aligned blocks; the deeper edge entries ride the same
         # ppermute pattern, so the halo machinery is unchanged.
-        self.fused = 2 if (fuse == 2 and by % 8 == 0) else 1
-        if self.fused == 2:
-            self.steps_per_call = 4 if paired else 2
+        self.fused = (
+            fuse if (fuse > 1 and by % 8 == 0 and by >= 2 * fuse) else 1
+        )
+        if self.fused > 1:
+            self.steps_per_call = self.fused * (2 if paired else 1)
         else:
             self.steps_per_call = 2 if paired else 1
 
@@ -148,9 +150,9 @@ class _PallasShardImpl:
     def init(self, cells, prepared):
         obstacles, _, accel_mask = prepared
         by = self.pf._pick_block_rows(cells.shape[1], cells.shape[2])
-        if self.fused == 2:
-            firsts, lasts = self.pf.gather_edge_rows2(
-                cells, obstacles, by, accel_mask=accel_mask
+        if self.fused > 1:
+            firsts, lasts = self.pf.gather_edge_rows_fused(
+                cells, obstacles, by, self.fused, accel_mask=accel_mask
             )
         else:
             firsts, lasts = self.pf.gather_edge_rows(
@@ -189,38 +191,39 @@ class _PallasShardImpl:
             accel_mask=accel_mask, dst=dst,
         )
 
-    def _call2(self, cells, firsts, lasts, prepared, dst):
+    def _call_fused(self, cells, firsts, lasts, prepared, dst):
         _, obs_i8, accel_mask = prepared
         prevs, nexts = self._halo_edges(firsts, lasts)
-        # _pallas_step2 in sharded (ring=False) mode takes the explicit
-        # next entries in the firsts2 slot and prev entries in lasts2.
-        return self.pf._pallas_step2(
+        # _pallas_step_fused in sharded (ring=False) mode takes the
+        # explicit next entries in the firsts slot and prev entries in
+        # the lasts slot.
+        return self.pf._pallas_step_fused(
             cells, nexts, prevs, obs_i8,
             omega_f=float(self.params.omega),
             interpret=self.pf._interpret(),
-            accel=self._accel_spec(),
+            accel=self._accel_spec(), depth=self.fused,
             ring=False, accel_mask=accel_mask, dst=dst,
         )
 
     def step(self, carry, prepared):
-        if self.fused == 2:
-            if self.steps_per_call == 4:
+        if self.fused > 1:
+            if self.steps_per_call == 2 * self.fused:
                 cells_a, cells_b, fa, la, fb, lb = carry
-                n1, f1, l1, t1a, t1b = self._call2(
+                n1, f1, l1, tots1 = self._call_fused(
                     cells_a, fa, la, prepared, (cells_b, fb, lb)
                 )
-                n2, f2, l2, t2a, t2b = self._call2(
+                n2, f2, l2, tots2 = self._call_fused(
                     n1, f1, l1, prepared, (cells_a, fa, la)
                 )
                 return (
                     (n2, n1, f2, l2, f1, l1),
-                    jnp.stack([t1a, t1b, t2a, t2b]),
+                    jnp.concatenate([tots1, tots2]),
                 )
             cells, firsts, lasts = carry
-            new, f2, l2, t1, t2 = self._call2(
+            new, f2, l2, tots = self._call_fused(
                 cells, firsts, lasts, prepared, None
             )
-            return (new, f2, l2), jnp.stack([t1, t2])
+            return (new, f2, l2), tots
         if self.steps_per_call == 2:
             cells_a, cells_b, fa, la, fb, lb = carry
             new1, f1, l1, t1 = self._call(
@@ -311,15 +314,19 @@ def plan_sharding(params: Params, mesh: Mesh, kernel: str):
 
 def _shard_impl(params: Params, decomp: RowDecomposition, kernel: str,
                 n_iters: int, transposed: bool = False):
-    """Pick the per-shard step implementation, preferring the fused
-    two-step kernel (halved HBM traffic) whenever the iteration count
-    and block geometry allow, then aliased pairing on top."""
+    """Pick the per-shard step implementation, preferring the deepest
+    fused kernel (per-step HBM traffic divided by depth) the iteration
+    count and block geometry allow, then aliased pairing on top."""
     if kernel == "pallas":
+        from lbm_tpu.ops.pallas_fused import _max_fuse_depth
+
         cls = _TransposedPallasShardImpl if transposed else _PallasShardImpl
-        if n_iters % 2 == 0:
-            impl = cls(params, decomp, paired=n_iters % 4 == 0, fuse=2)
-            if impl.fused == 2:
-                return impl
+        for d in (8, 4, 2):
+            if d <= _max_fuse_depth() and n_iters % d == 0:
+                impl = cls(params, decomp,
+                           paired=n_iters % (2 * d) == 0, fuse=d)
+                if impl.fused == d:
+                    return impl
         return cls(params, decomp, paired=n_iters % 2 == 0)
     return _ReferenceShardImpl(params, decomp)
 

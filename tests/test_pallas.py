@@ -28,7 +28,7 @@ def rand_state(p, seed=0):
 
 
 def test_pick_block_rows():
-    assert _pick_block_rows(1024, 1024) in (16, 32, 64)
+    assert _pick_block_rows(1024, 1024) in (32, 64, 128, 256)
     assert 1024 % _pick_block_rows(1024, 1024) == 0
     assert _pick_block_rows(32, 128) == 32  # whole grid fits one window
     assert _pick_block_rows(8, 16384) >= 1
@@ -181,13 +181,14 @@ def test_carrystep_accel_fallback_matches_reference(ny, monkeypatch):
 
 
 class TestFusedTwoStep:
-    """Temporal-blocking kernel (_pallas_step2): two timesteps per HBM
-    pass with double carried edge rows and redundant boundary-row
-    compute. Trajectories must match the jnp reference at f32
-    reassociation level, including when the forced row ny-2 lands in an
-    edge-array channel of a neighbouring block (the f_pb owner factor)
-    and when obstacles sit on the forced row (guarded forcing on loaded
-    halo copies)."""
+    """Temporal-blocking kernel (_pallas_step_fused): depth timesteps
+    per HBM pass with depth-deep carried edge rows and redundant
+    boundary-row compute. Trajectories must match the jnp reference at
+    f32 reassociation level, including when the forced row ny-2 lands
+    in an edge-array channel of a neighbouring block (the static owner
+    factors) and when obstacles sit on the forced row (guarded forcing
+    on loaded halo copies). iters%4==0 selects depth 4; iters%4==2
+    falls back to depth 2."""
 
     def _check(self, p, obstacles):
         from lbm_tpu.runner import run_simulation, _select_impl
@@ -195,7 +196,7 @@ class TestFusedTwoStep:
         impl = _select_impl(
             "pallas", p, paired=p.max_iters % 2 == 0, n_iters=p.max_iters
         )
-        assert impl.fused == 2, "shape must select the fused-2 kernel"
+        assert impl.fused > 1, "shape must select a fused kernel"
         base = run_simulation(p, obstacles, kernel="reference")
         got = run_simulation(p, obstacles, kernel="pallas")
         np.testing.assert_allclose(
@@ -205,7 +206,7 @@ class TestFusedTwoStep:
         return impl
 
     def test_single_block_square(self):
-        p = small_params(ny=32, nx=32, max_iters=20)
+        p = small_params(ny=32, nx=32, max_iters=12)
         obstacles = generate_obstacles(p.nx, p.ny)
         self._check(p, obstacles)
 
@@ -217,19 +218,19 @@ class TestFusedTwoStep:
 
         monkeypatch.setattr(pf, "_SLOT_BYTES", 8 * 9 * 32 * 4)
         rng = np.random.default_rng(17)
-        p = small_params(ny=32, nx=32, max_iters=20)
+        p = small_params(ny=32, nx=32, max_iters=12)
         obstacles = generate_obstacles(p.nx, p.ny)
         obstacles[p.ny - 2, :] |= rng.random(p.nx) < 0.3
         obstacles[p.ny - 2, 5] = False
         impl = self._check(p, obstacles)
-        assert impl._h // impl._by == 4
+        assert impl._h // impl._by == 4 and impl.fused == 4
 
     def test_unpaired_odd_pairs(self):
         """iters % 4 != 0: fused-2 runs unpaired (2 steps per call)."""
         from lbm_tpu.runner import _select_impl
 
-        p = small_params(ny=32, nx=32, max_iters=22)
-        impl = _select_impl("pallas", p, paired=False, n_iters=22)
+        p = small_params(ny=32, nx=32, max_iters=10)
+        impl = _select_impl("pallas", p, paired=False, n_iters=10)
         assert impl.fused == 2 and impl.steps_per_call == 2
         obstacles = generate_obstacles(p.nx, p.ny)
         self._check(p, obstacles)
@@ -241,7 +242,7 @@ class TestFusedTwoStep:
 
         monkeypatch.setattr(pf, "_SLOT_BYTES", 16 * 9 * 16 * 4)
         rng = np.random.default_rng(23)
-        p = small_params(ny=16, nx=64, max_iters=20)
+        p = small_params(ny=16, nx=64, max_iters=12)
         obstacles = generate_obstacles(p.nx, p.ny)
         obstacles |= rng.random((p.ny, p.nx)) < 0.1
         obstacles[p.ny - 2, 7] = False
@@ -262,3 +263,19 @@ class TestFusedTwoStep:
         np.testing.assert_allclose(
             base.cells, got.cells, rtol=2e-5, atol=5e-8
         )
+
+
+def test_depth8_opt_in_matches_reference(monkeypatch):
+    """Depth 8 is available behind LBM_PALLAS_DEPTH (measured slower on
+    the chip, so not a default) and must stay correct."""
+    from lbm_tpu.runner import run_simulation, _select_impl
+
+    monkeypatch.setenv("LBM_PALLAS_DEPTH", "8")
+    p = small_params(ny=32, nx=32, max_iters=16)
+    impl = _select_impl("pallas", p, paired=True, n_iters=16)
+    assert impl.fused == 8 and impl.steps_per_call == 16
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas")
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)

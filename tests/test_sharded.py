@@ -187,9 +187,9 @@ def test_transposed_sharding_with_scattered_obstacles():
     np.testing.assert_allclose(base.av_vels, shard.av_vels, rtol=1e-4)
 
 
-@pytest.mark.parametrize("n_dev,iters", [(4, 20), (2, 22)])
+@pytest.mark.parametrize("n_dev,iters", [(4, 12), (2, 10)])
 def test_sharded_fused_two_step_rows(n_dev, iters):
-    """Sharded temporal fusion (pallas_fused._kernel2, ring=False): with
+    """Sharded temporal fusion (pallas_fused._kernel_fused, ring=False): with
     local_ny >= 8 the shard impl selects the fused two-step kernel; the
     double edge entries ppermute over the ring and shard 0's south halo
     row B IS the forced row ny-2, exercising the ACC channels for both
@@ -203,8 +203,9 @@ def test_sharded_fused_two_step_rows(n_dev, iters):
     transposed, decomp, _, _ = plan_sharding(p, mesh, "pallas")
     impl = _shard_impl(p, decomp, "pallas", n_iters=iters,
                        transposed=transposed)
-    assert not transposed and impl.fused == 2
-    assert impl.steps_per_call == (4 if iters % 4 == 0 else 2)
+    assert not transposed
+    assert impl.fused == (4 if iters % 4 == 0 else 2)
+    assert impl.steps_per_call == impl.fused  # unpaired at these iters
 
     obstacles = generate_obstacles(p.nx, p.ny)
     obstacles[p.ny - 2, :] |= rng.random(p.nx) < 0.3
@@ -221,12 +222,12 @@ def test_sharded_fused_two_step_transposed():
     from lbm_tpu.parallel.halo import _shard_impl, plan_sharding
 
     rng = np.random.default_rng(43)
-    p = small_params(ny=16, nx=128, max_iters=20)
+    p = small_params(ny=16, nx=128, max_iters=12)
     mesh = make_mesh(4)
     transposed, decomp, _, _ = plan_sharding(p, mesh, "pallas")
-    impl = _shard_impl(p, decomp, "pallas", n_iters=20,
+    impl = _shard_impl(p, decomp, "pallas", n_iters=12,
                        transposed=transposed)
-    assert transposed and impl.fused == 2
+    assert transposed and impl.fused == 4
 
     obstacles = generate_obstacles(p.nx, p.ny)
     obstacles |= rng.random((p.ny, p.nx)) < 0.1
