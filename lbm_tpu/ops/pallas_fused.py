@@ -1110,21 +1110,41 @@ def _max_fuse_depth() -> int:
     return int(os.environ.get("LBM_PALLAS_DEPTH", 4))
 
 
+def _depth_preference(ny: int, nx: int) -> list[int]:
+    """Fusion depths to try, most-preferred first.
+
+    ``LBM_PALLAS_DEPTH`` pins the maximum (and most preferred) depth.
+    Otherwise the preference is size-aware (measured on v5e,
+    docs/PERF.md v6): chip-resident states (<= ~50 MB per lattice
+    buffer, e.g. 1024x1024 = 37.7 MB) run ~2.5% faster at depth 2,
+    while larger states are HBM-bound and want depth 4's traffic cut.
+    Depth 8 never wins (in-register pipelines spill) so it is opt-in.
+    """
+    env = os.environ.get("LBM_PALLAS_DEPTH")
+    if env is not None:
+        dmax = int(env)
+        return [d for d in (8, 4, 2) if d <= dmax]
+    if 9 * ny * nx * 4 <= 50_000_000:
+        return [2, 4]
+    return [4, 2]
+
+
 def make_carry_step(params: Params, ny: int, nx: int, paired: bool = True,
                     n_iters: int | None = None):
     """Pick the execution layout (transposed when the grid is much wider
     than tall) and the temporal fusion depth: a depth-D pass divides
-    per-step HBM traffic by D; the deepest depth the iteration count and
-    block geometry allow wins (every official scene's maxIters divides
-    by 4)."""
+    per-step HBM traffic by D. The preferred depth is size-aware
+    (:func:`_depth_preference`); the first preference the iteration
+    count and block geometry allow wins (every official scene's
+    maxIters divides by 4)."""
     cls = (
         TransposedCarryStep
         if nx >= 2 * ny and nx % 8 == 0
         else CarryStep
     )
     if n_iters is not None:
-        for d in (8, 4, 2):
-            if d <= _max_fuse_depth() and n_iters % d == 0:
+        for d in _depth_preference(ny, nx):
+            if n_iters % d == 0:
                 impl = cls(params, paired=paired and n_iters % (2 * d) == 0,
                            fuse=d)
                 if impl.fused == d:

@@ -22,11 +22,27 @@ tolerance.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
 from lbm_tpu.state import D2Q9
+
+
+def _paired_eq_enabled() -> bool:
+    """Opposite-speed paired equilibrium (feq± = even ± odd): ~20% fewer
+    VPU ops per cell than the reference's per-speed expansion, at the
+    cost of a different (but algebraically equal) f32 association.
+    Measured +5-10% GLUPS across every grid (docs/PERF.md v6), so it is
+    the f32 default; LBM_PAIRED_EQ=0 restores the reference's exact
+    term-by-term association. Float64 validation mode always keeps the
+    reference ordering (the ~1e-10% golden-match claim depends on it).
+    Read at trace time; both the jnp and Pallas paths share this
+    function, so sharded/unsharded and pallas/jnp equivalence is
+    unaffected by the setting."""
+    return os.environ.get("LBM_PAIRED_EQ", "1") not in ("0", "", "false")
 
 def _accel_delta(w1, w2) -> jnp.ndarray:
     """Per-speed forcing deltas: +w1/-w1 on axis speeds 1/3, +w2 on
@@ -113,15 +129,41 @@ def _bgk_update(
     u_y = (s[2] + s[5] + s[6] - (s[4] + s[7] + s[8])) / rho
     u_sq = u_x * u_x + u_y * u_y
 
-    new_planes = []
-    for k in range(D2Q9.Q):
-        cx = int(D2Q9.CX[k])
-        cy = int(D2Q9.CY[k])
-        w = weights[k]
-        if cx == 0 and cy == 0:
-            # Speed 0: feq = w0 * rho * (1 - u_sq * 1.5)  (d2q9-bgk.c:325)
-            feq = w * rho * (one - u_sq * two_c_sq_r)
-        else:
+    if _paired_eq_enabled() and s[0].dtype == jnp.float32:
+        # Paired form: for opposite speeds (k, k̄) the equilibrium splits
+        # into even/odd parts, feq_k = E + O and feq_k̄ = E - O with
+        # E = w*rho*(1 + 4.5*uc² - 1.5*u²) and O = w*rho*3*uc — the
+        # even half (5 of ~8 ops) is computed once per pair instead of
+        # twice. Algebraically identical to d2q9-bgk.c:325-333, with a
+        # different f32 association (drift stays far inside the 1%
+        # golden tolerance; see docs/PERF.md).
+        base = one - u_sq * two_c_sq_r
+        wrho_a = w_axis * rho
+        wrho_d = w_diag * rho
+        odd_a = c_sq_r * wrho_a
+        odd_d = c_sq_r * wrho_d
+
+        def pair(wrho, oddw, uc):
+            even = wrho * (base + (uc * uc) * two_c_sq_sq_r)
+            odd = oddw * uc
+            return even + odd, even - odd
+
+        feq = [None] * D2Q9.Q
+        feq[0] = weights[0] * rho * base
+        feq[1], feq[3] = pair(wrho_a, odd_a, u_x)
+        feq[2], feq[4] = pair(wrho_a, odd_a, u_y)
+        feq[5], feq[7] = pair(wrho_d, odd_d, u_x + u_y)
+        feq[6], feq[8] = pair(wrho_d, odd_d, u_y - u_x)
+    else:
+        feq = []
+        for k in range(D2Q9.Q):
+            cx = int(D2Q9.CX[k])
+            cy = int(D2Q9.CY[k])
+            w = weights[k]
+            if cx == 0 and cy == 0:
+                # Speed 0: feq = w0 * rho * (1 - u_sq * 1.5)  (d2q9-bgk.c:325)
+                feq.append(w * rho * (one - u_sq * two_c_sq_r))
+                continue
             # Projected velocity, preserving the reference's expression
             # shapes (e.g. speed 6 uses (-u_x + u_y), d2q9-bgk.c:331).
             if cx == 0:
@@ -132,7 +174,7 @@ def _bgk_update(
                 ux_t = u_x if cx > 0 else -u_x
                 uy_t = u_y if cy > 0 else -u_y
                 uc = ux_t + uy_t
-            feq = (
+            feq.append(
                 w
                 * rho
                 * (
@@ -142,7 +184,10 @@ def _bgk_update(
                     - u_sq * two_c_sq_r
                 )
             )
-        relaxed = s[k] + omega * (feq - s[k])
+
+    new_planes = []
+    for k in range(D2Q9.Q):
+        relaxed = s[k] + omega * (feq[k] - s[k])
         bounced = s[int(D2Q9.OPP[k])]
         new_planes.append(jnp.where(obstacles, bounced, relaxed))
 

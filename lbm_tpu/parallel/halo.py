@@ -314,15 +314,18 @@ def plan_sharding(params: Params, mesh: Mesh, kernel: str):
 
 def _shard_impl(params: Params, decomp: RowDecomposition, kernel: str,
                 n_iters: int, transposed: bool = False):
-    """Pick the per-shard step implementation, preferring the deepest
-    fused kernel (per-step HBM traffic divided by depth) the iteration
-    count and block geometry allow, then aliased pairing on top."""
+    """Pick the per-shard step implementation, preferring the fused
+    kernel depth that fits the PER-SHARD state size (per-step HBM
+    traffic divided by depth; small resident shards prefer depth 2 —
+    see pallas_fused._depth_preference), then aliased pairing on top."""
     if kernel == "pallas":
-        from lbm_tpu.ops.pallas_fused import _max_fuse_depth
+        from lbm_tpu.ops.pallas_fused import _depth_preference
 
         cls = _TransposedPallasShardImpl if transposed else _PallasShardImpl
-        for d in (8, 4, 2):
-            if d <= _max_fuse_depth() and n_iters % d == 0:
+        local_ny = -(-decomp.ny // decomp.n_shards)
+        for d in _depth_preference(local_ny, params.nx if not transposed
+                                   else params.ny):
+            if n_iters % d == 0:
                 impl = cls(params, decomp,
                            paired=n_iters % (2 * d) == 0, fuse=d)
                 if impl.fused == d:

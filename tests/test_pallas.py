@@ -217,6 +217,8 @@ class TestFusedTwoStep:
         import lbm_tpu.ops.pallas_fused as pf
 
         monkeypatch.setattr(pf, "_SLOT_BYTES", 8 * 9 * 32 * 4)
+        # Pin depth 4 (small states default to depth 2 since v6).
+        monkeypatch.setenv("LBM_PALLAS_DEPTH", "4")
         rng = np.random.default_rng(17)
         p = small_params(ny=32, nx=32, max_iters=12)
         obstacles = generate_obstacles(p.nx, p.ny)
@@ -279,3 +281,34 @@ def test_depth8_opt_in_matches_reference(monkeypatch):
     got = run_simulation(p, obstacles, kernel="pallas")
     np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
     np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+
+
+def test_paired_equilibrium_matches_reference(monkeypatch):
+    """The default f32 equilibrium is the even/odd opposite-speed paired
+    form (fewer VPU ops, different f32 association); LBM_PAIRED_EQ=0
+    restores the reference's term-by-term expansion. Both the jnp and
+    pallas paths share the rewritten _bgk_update, so they must stay
+    within the usual cross-compilation tolerance of the unpaired
+    reference trajectory — and of each other."""
+    from lbm_tpu.runner import run_simulation
+
+    p = small_params(ny=64, nx=128, max_iters=20)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    monkeypatch.setenv("LBM_PAIRED_EQ", "0")
+    base = run_simulation(p, obstacles, kernel="reference")
+
+    monkeypatch.setenv("LBM_PAIRED_EQ", "1")
+    ref_paired = run_simulation(p, obstacles, kernel="reference")
+    pal_paired = run_simulation(p, obstacles, kernel="pallas")
+    # Paired vs unpaired: identical algebra, different rounding.
+    np.testing.assert_allclose(
+        base.cells, ref_paired.cells, rtol=2e-5, atol=5e-8
+    )
+    np.testing.assert_allclose(base.av_vels, ref_paired.av_vels, rtol=1e-4)
+    # Pallas under the flag tracks its own jnp form as tightly as ever.
+    np.testing.assert_allclose(
+        ref_paired.cells, pal_paired.cells, rtol=2e-5, atol=5e-8
+    )
+    np.testing.assert_allclose(
+        ref_paired.av_vels, pal_paired.av_vels, rtol=1e-4
+    )

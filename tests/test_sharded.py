@@ -188,7 +188,7 @@ def test_transposed_sharding_with_scattered_obstacles():
 
 
 @pytest.mark.parametrize("n_dev,iters", [(4, 12), (2, 10)])
-def test_sharded_fused_two_step_rows(n_dev, iters):
+def test_sharded_fused_two_step_rows(n_dev, iters, monkeypatch):
     """Sharded temporal fusion (pallas_fused._kernel_fused, ring=False): with
     local_ny >= 8 the shard impl selects the fused two-step kernel; the
     double edge entries ppermute over the ring and shard 0's south halo
@@ -197,6 +197,8 @@ def test_sharded_fused_two_step_rows(n_dev, iters):
     guard on the halo copies."""
     from lbm_tpu.parallel.halo import _shard_impl, plan_sharding
 
+    # Pin depth 4 (small per-shard states default to depth 2 since v6).
+    monkeypatch.setenv("LBM_PALLAS_DEPTH", "4")
     rng = np.random.default_rng(41)
     p = small_params(ny=64, nx=32, max_iters=iters)
     mesh = make_mesh(n_dev)
@@ -216,11 +218,13 @@ def test_sharded_fused_two_step_rows(n_dev, iters):
     np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
 
 
-def test_sharded_fused_two_step_transposed():
+def test_sharded_fused_two_step_transposed(monkeypatch):
     """Wide-grid x-sharding with the fused kernel: static lane forcing
     applies to every copy, no ACC channels needed."""
     from lbm_tpu.parallel.halo import _shard_impl, plan_sharding
 
+    # Pin depth 4 (small per-shard states default to depth 2 since v6).
+    monkeypatch.setenv("LBM_PALLAS_DEPTH", "4")
     rng = np.random.default_rng(43)
     p = small_params(ny=16, nx=128, max_iters=12)
     mesh = make_mesh(4)

@@ -100,14 +100,20 @@ def test_accelerate_flow_guard():
 
 
 @requires_reference
-def test_golden_prefix_128(params_128, obstacles_128, golden_av_vels_128):
+def test_golden_prefix_128(params_128, obstacles_128, golden_av_vels_128,
+                           monkeypatch):
     """First 200 av_vels of the 128x128 scene match the golden trajectory.
 
     av_vels[tt] depends only on steps 0..tt, so a prefix run checks the
     full per-step pipeline against check/128x128.av_vels.dat. The golden
-    data is double-precision (original coursework code); f32 tracks it to
-    ~1e-4 % over this horizon — far inside check.py's 1 % gate.
+    data is double-precision (original coursework code); f32 with the
+    reference's exact term-by-term association tracks it to ~1e-4 % over
+    this horizon — far inside check.py's 1 % gate. The default paired
+    equilibrium drifts ~1e-2 % here and is gated at 0.1 % by
+    test_golden_grids; this test pins the reference association to keep
+    guarding it at the tighter bar.
     """
+    monkeypatch.setenv("LBM_PAIRED_EQ", "0")
     n = 200
     sim = make_simulate(params_128, kernel="reference", n_iters=n)
     cells0 = initial_state(params_128)
