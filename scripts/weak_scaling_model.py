@@ -5,11 +5,12 @@ compute at 112 ranks" (report_mpi/report.tex:164-165), built from the
 program's actual per-step traffic instead of cluster measurements (no
 multi-chip hardware is attached; every constant is stated below).
 
-Per step each shard exchanges its two boundary edge-array entries by
-ppermute: 2 directions x QP(16) channels x L lanes x 4 B. Compute per
-step moves ~73 B/cell of HBM traffic (18 f32 distributions + int8
-mask) at the measured single-chip efficiency (0.78 of the v5e's
-nominal 819 GB/s for >=600 MB states, docs/PERF.md).
+Per fused pass (depth D=4 on these states) each shard exchanges its
+two D-deep boundary edge-array stacks by ppermute: 2 directions x
+QP(16) x D channels x L lanes x 4 B, once per D steps. Compute time
+per step comes straight from the measured v6 single-chip rates
+(docs/PERF.md: 23.06 GLUPS at 16384x1024, 27.71 at 131072x128) — the
+fastest (most halo-sensitive) configuration, not a bandwidth bound.
 
 Weak scaling holds the PER-SHARD grid constant (the BASELINE.json
 north-star: 16384x1024 per chip, growing the global lattice with the
@@ -25,30 +26,35 @@ import argparse
 import json
 from pathlib import Path
 
-HBM_GBPS = 819  # v5e nominal
-HBM_EFF = 0.78  # measured: 640 GB/s effective on >=600 MB states
-BYTES_PER_CELL = 73  # 18 f32 + 1 int8 mask byte (docs/PERF.md)
 ICI_GBPS = 90  # one v5e ICI link direction, conservative
 ICI_LAT_US = 2.0  # per-ppermute launch/latency allowance
-QP = 16  # edge-entry channels (speeds 9 + flags, padded)
+QP = 16  # edge-entry channels per row (speeds 9 + flags, padded)
+DEPTH = 4  # temporal-fusion depth on these states (docs/PERF.md v6)
 
-# (name, per-shard rows on the sharded axis, lanes) — per-chip shard of
-# the stress grids under the production sharding plan (wide grids shard
-# transposed physical x; lanes = the other dimension).
+# (name, per-shard rows on the sharded axis, lanes, measured v6 GLUPS)
+# — per-chip shard of the stress grids under the production sharding
+# plan (wide grids shard transposed physical x; lanes = the other
+# dimension). GLUPS from the official single-chip bench (docs/PERF.md);
+# using the measured rate makes the model as halo-sensitive as the real
+# program, rather than hiding halo time under a bandwidth bound.
 SHARDS = [
-    ("16384x1024 per chip", 16384, 1024),
-    ("131072x128 per chip", 131072, 128),
+    ("16384x1024 per chip", 16384, 1024, 23.06),
+    ("131072x128 per chip", 131072, 128, 27.71),
 ]
 
 
-def model(rows: int, lanes: int, n: int) -> dict:
+def model(rows: int, lanes: int, glups: float, n: int) -> dict:
     cells = rows * lanes
-    t_comp = cells * BYTES_PER_CELL / (HBM_GBPS * 1e9 * HBM_EFF)
+    t_comp = cells / (glups * 1e9)  # seconds per step, measured
     if n == 1:
         t_halo = 0.0
     else:
-        halo_bytes = 2 * QP * lanes * 4  # both directions, one step
-        t_halo = halo_bytes / (ICI_GBPS * 1e9) + 2 * ICI_LAT_US * 1e-6
+        # One exchange of the D-deep edge stacks per fused pass,
+        # amortised over the D steps the pass advances.
+        halo_bytes = 2 * QP * DEPTH * lanes * 4
+        t_halo = (
+            halo_bytes / (ICI_GBPS * 1e9) + 2 * ICI_LAT_US * 1e-6
+        ) / DEPTH
     return {
         "devices": n,
         "t_compute_us": t_comp * 1e6,
@@ -68,15 +74,15 @@ def main(argv=None):
     devices = [1, 2, 4, 8, 16]
     results = {
         "model": {
-            "hbm_gbps": HBM_GBPS, "hbm_efficiency": HBM_EFF,
-            "bytes_per_cell": BYTES_PER_CELL, "ici_gbps": ICI_GBPS,
-            "ici_latency_us": ICI_LAT_US, "edge_channels": QP,
+            "ici_gbps": ICI_GBPS, "ici_latency_us": ICI_LAT_US,
+            "edge_channels": QP, "fusion_depth": DEPTH,
+            "compute": "measured v6 single-chip GLUPS (docs/PERF.md)",
         },
         "reference_halo_fraction": 0.23,  # report_mpi/report.tex:164-165
         "grids": {},
     }
-    for name, rows, lanes in SHARDS:
-        rows_n = [model(rows, lanes, n) for n in devices]
+    for name, rows, lanes, glups in SHARDS:
+        rows_n = [model(rows, lanes, glups, n) for n in devices]
         results["grids"][name] = rows_n
         for r in rows_n:
             print(f"{name} n={r['devices']}: compute {r['t_compute_us']:.0f} us, "
@@ -93,7 +99,7 @@ def main(argv=None):
 
     fig, ax = plt.subplots(figsize=(6.4, 4.0), dpi=150)
     colors = ["#2a78d6", "#eb6834"]  # categorical slots 1-2
-    for (name, _, _), color in zip(SHARDS, colors):
+    for (name, _, _, _), color in zip(SHARDS, colors):
         rows_n = results["grids"][name]
         xs = [r["devices"] for r in rows_n]
         ys = [r["efficiency"] for r in rows_n]
