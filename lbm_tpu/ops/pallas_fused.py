@@ -78,6 +78,11 @@ SIGMA = (0, 2, 1, 4, 3, 5, 8, 7, 6)
 # (by=128 on 1024-lane grids) measured best across every benchmark
 # shape at fusion depth 4 (docs/PERF.md).
 _SLOT_BYTES = int(os.environ.get("LBM_PALLAS_SLOT_BYTES", 6 * 1024 * 1024))
+# Ceiling for the scoped-VMEM limit passed to Mosaic. The hardware has
+# 128 MiB of VMEM; Mosaic's default scoped limit is 100 MiB and block
+# configs slightly above it (e.g. 256-row blocks at depth 4 on
+# 1024-lane grids: ~120 MiB) are legal if the ceiling is raised.
+_VMEM_CAP = int(os.environ.get("LBM_PALLAS_VMEM_CAP", 100 * 1024 * 1024))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -444,7 +449,7 @@ def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret,
             # Two DMA slots + pipelined output/obstacle blocks; leave
             # headroom over the computed footprint.
             vmem_limit_bytes=min(
-                100 * 1024 * 1024,
+                _VMEM_CAP,
                 4 * (2 * Q * by * nx * 4 + 2 * Q * by * nx * 4) + (1 << 22),
             ),
         ),
@@ -861,7 +866,7 @@ def _pallas_step_fused(interior, firsts, lasts, obs_i8, *, omega_f,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=min(
-                100 * 1024 * 1024,
+                _VMEM_CAP,
                 4 * (2 * Q * by * nx * 4 + 2 * Q * by * nx * 4) + (1 << 22),
             ),
         ),
@@ -1127,6 +1132,31 @@ def _depth_preference(ny: int, nx: int) -> list[int]:
     if 9 * ny * nx * 4 <= 50_000_000:
         return [2, 4]
     return [4, 2]
+
+
+def plan_iters(params: Params, iters: int) -> tuple[int, int]:
+    """Split ``iters`` into ``(main, tail)`` so the main segment runs at
+    the grid's preferred fusion depth with pairing even when the total
+    iteration count is odd or otherwise indivisible (the reference's
+    loop ran any maxIters at full speed, d2q9-bgk.c:191; fusion must not
+    regress that). The tail is shorter than one paired pass and runs at
+    whatever depth divides it — at most ``2*depth - 1`` slow steps out
+    of the whole run. Returns ``(iters, 0)`` when no split helps."""
+    ny, nx = params.ny, params.nx
+    cls = (
+        TransposedCarryStep
+        if nx >= 2 * ny and nx % 8 == 0
+        else CarryStep
+    )
+    for d in _depth_preference(ny, nx):
+        probe = cls(params, paired=True, fuse=d)
+        g = 2 * d
+        if probe.fused != d or probe.steps_per_call != g:
+            continue
+        if iters > g and iters % g:
+            return iters - iters % g, iters % g
+        break
+    return iters, 0
 
 
 def make_carry_step(params: Params, ny: int, nx: int, paired: bool = True,

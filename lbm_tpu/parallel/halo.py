@@ -334,6 +334,62 @@ def _shard_impl(params: Params, decomp: RowDecomposition, kernel: str,
     return _ReferenceShardImpl(params, decomp)
 
 
+def _shard_segments(params: Params, decomp: RowDecomposition, kernel: str,
+                    iters: int, transposed: bool):
+    """Plan the run as ``[(impl, n_steps), ...]`` (the sharded analogue
+    of runner._segments): one segment when the preferred fused
+    granularity divides ``iters``, otherwise a main paired-fused segment
+    plus a short unfused tail so arbitrary iteration counts keep the
+    fused kernel's speed."""
+    if kernel == "pallas" and iters > 0:
+        from lbm_tpu.ops.pallas_fused import _depth_preference
+
+        cls = _TransposedPallasShardImpl if transposed else _PallasShardImpl
+        local_ny = -(-decomp.ny // decomp.n_shards)
+        width = params.ny if transposed else params.nx
+        for d in _depth_preference(local_ny, width):
+            probe = cls(params, decomp, paired=True, fuse=d)
+            g = 2 * d
+            if probe.fused != d or probe.steps_per_call != g:
+                continue
+            if iters > g and iters % g:
+                tail = iters % g
+                return [
+                    (probe, iters - tail),
+                    (_shard_impl(params, decomp, kernel, n_iters=tail,
+                                 transposed=transposed), tail),
+                ]
+            break
+    return [(_shard_impl(params, decomp, kernel, n_iters=iters,
+                         transposed=transposed), iters)]
+
+
+def _segment_loop(segs, cells, obstacles, inv_fluid, av_partial, base):
+    """Run the planned segments, writing per-step scaled tot_u values
+    into ``av_partial`` starting at offset ``base`` (python int or
+    traced scalar). Returns (final_cells, av_partial)."""
+    off = 0
+    for impl, n in segs:
+        spc = impl.steps_per_call
+        prepared = impl.prepare(obstacles)  # loop-invariant
+
+        def body(i, loop_carry, impl=impl, prepared=prepared, spc=spc,
+                 off=off):
+            carry, av = loop_carry
+            carry, tots = impl.step(carry, prepared)
+            av = lax.dynamic_update_slice(
+                av, tots * inv_fluid, (base + off + i * spc,)
+            )
+            return carry, av
+
+        carry, av_partial = lax.fori_loop(
+            0, n // spc, body, (impl.init(cells, prepared), av_partial)
+        )
+        cells = impl.final(carry)
+        off += n
+    return cells, av_partial
+
+
 def make_sharded_simulate(
     params: Params,
     mesh: Mesh,
@@ -352,27 +408,17 @@ def make_sharded_simulate(
     iters = params.max_iters if n_iters is None else n_iters
     kernel = _resolve_kernel(kernel)
     transposed, decomp, cells_spec, obs_spec = plan_sharding(params, mesh, kernel)
-    impl = _shard_impl(params, decomp, kernel, n_iters=iters,
-                       transposed=transposed)
-    spc = impl.steps_per_call
+    segs = _shard_segments(params, decomp, kernel, iters, transposed)
 
     def local_sim(cells, obstacles, inv_fluid):
         av_partial = jnp.zeros((iters,), dtype=cells.dtype)
-        prepared = impl.prepare(obstacles)  # loop-invariant
-
-        def body(i, loop_carry):
-            carry, av = loop_carry
-            carry, tots = impl.step(carry, prepared)
-            av = lax.dynamic_update_slice(av, tots * inv_fluid, (i * spc,))
-            return carry, av
-
-        carry, av_partial = lax.fori_loop(
-            0, iters // spc, body, (impl.init(cells, prepared), av_partial)
+        cells, av_partial = _segment_loop(
+            segs, cells, obstacles, inv_fluid, av_partial, 0
         )
         # One reduction for the whole trajectory, not one per step — the
         # reference's single end-of-run MPI_Reduce (d2q9-bgk.c:445).
         av = lax.psum(av_partial, AXIS)
-        return impl.final(carry), av
+        return cells, av
 
     sharded = jax.shard_map(
         local_sim,
@@ -401,25 +447,15 @@ def make_sharded_chunk(
     ensure_dtype_computable(params)
     kernel = _resolve_kernel(kernel)
     transposed, decomp, cells_spec, obs_spec = plan_sharding(params, mesh, kernel)
-    impl = _shard_impl(params, decomp, kernel, n_iters=chunk_iters,
-                       transposed=transposed)
-    spc = impl.steps_per_call
+    segs = _shard_segments(params, decomp, kernel, chunk_iters, transposed)
 
     def local_chunk(cells, obstacles, inv_fluid, av, t0):
         av_partial = jnp.zeros((chunk_iters,), dtype=cells.dtype)
-        prepared = impl.prepare(obstacles)  # loop-invariant
-
-        def body(i, loop_carry):
-            carry, avp = loop_carry
-            carry, tots = impl.step(carry, prepared)
-            avp = lax.dynamic_update_slice(avp, tots * inv_fluid, (i * spc,))
-            return carry, avp
-
-        carry, av_partial = lax.fori_loop(
-            0, chunk_iters // spc, body, (impl.init(cells, prepared), av_partial)
+        cells, av_partial = _segment_loop(
+            segs, cells, obstacles, inv_fluid, av_partial, 0
         )
         av = lax.dynamic_update_slice(av, lax.psum(av_partial, AXIS), (t0,))
-        return impl.final(carry), av
+        return cells, av
 
     sharded = jax.shard_map(
         local_chunk,

@@ -64,13 +64,8 @@ class _SimpleImpl:
         return carry
 
 
-def _select_impl(kernel: str, params: Params, paired: bool = True,
-                 n_iters: int | None = None):
-    """Resolve a step implementation with prepare/init/step/final over an
-    opaque carry (the Pallas path carries per-block edge-row arrays and,
-    in paired mode, ping-pong lattice buffers alongside the lattice).
-    ``paired`` requires the caller to run an even number of steps."""
-    w1, w2, omega = params.accel_w1, params.accel_w2, params.omega
+def _resolve_kernel(kernel: str, params: Params) -> str:
+    """Resolve ``auto`` to a concrete kernel name and validate dtype."""
     if kernel == "auto":
         if jax.default_backend() == "tpu" and params.dtype == np.float32:
             try:
@@ -86,9 +81,22 @@ def _select_impl(kernel: str, params: Params, paired: bool = True,
             "the pallas kernel is float32-only; use --kernel reference "
             "with --precision float64"
         )
+    if kernel not in ("reference", "pallas"):
+        raise ValueError(f"unknown kernel {kernel!r}")
     from lbm_tpu.params import ensure_dtype_computable
 
     ensure_dtype_computable(params)
+    return kernel
+
+
+def _select_impl(kernel: str, params: Params, paired: bool = True,
+                 n_iters: int | None = None):
+    """Resolve a step implementation with prepare/init/step/final over an
+    opaque carry (the Pallas path carries per-block edge-row arrays and,
+    in paired mode, ping-pong lattice buffers alongside the lattice).
+    ``paired`` requires the caller to run an even number of steps."""
+    w1, w2, omega = params.accel_w1, params.accel_w2, params.omega
+    kernel = _resolve_kernel(kernel, params)
     if kernel == "reference":
         return _SimpleImpl(
             lambda cells, obs: ref_ops.fused_step(cells, obs, w1, w2, omega)
@@ -143,19 +151,49 @@ def _loop_core(impl, n_steps):
     return core
 
 
+def _segments(kernel: str, params: Params, iters: int):
+    """Plan the run as ``[(loop_core, n_steps), ...]``. One segment when
+    the kernel's preferred step granularity divides ``iters``; otherwise
+    a main segment at the preferred fusion depth (paired) plus a short
+    unfused tail, so arbitrary iteration counts keep full speed (the
+    reference's loop had no such divisibility constraint,
+    d2q9-bgk.c:191)."""
+    kernel = _resolve_kernel(kernel, params)
+    if kernel == "pallas" and iters > 0:
+        from lbm_tpu.ops import pallas_fused
+
+        main, tail = pallas_fused.plan_iters(params, iters)
+        if tail:
+            parts = [
+                _select_impl(kernel, params, paired=True, n_iters=main),
+                _select_impl(
+                    kernel, params, paired=tail % 2 == 0, n_iters=tail
+                ),
+            ]
+            return [
+                (_loop_core(impl, n), n)
+                for impl, n in zip(parts, (main, tail))
+            ]
+    impl = _select_impl(kernel, params, paired=iters % 2 == 0, n_iters=iters)
+    return [(_loop_core(impl, iters), iters)]
+
+
 def make_simulate(params: Params, kernel: str = "auto", n_iters: int | None = None):
     """Build the jitted whole-simulation function
     ``(cells0, obstacles, inv_fluid) -> (final_cells, av_vels)``.
     """
     iters = params.max_iters if n_iters is None else n_iters
-    impl = _select_impl(kernel, params, paired=iters % 2 == 0, n_iters=iters)
-    core = _loop_core(impl, iters)
+    cores = _segments(kernel, params, iters)
     av_dtype = params.dtype
 
     @partial(jax.jit, donate_argnums=(0,))
     def simulate(cells, obstacles, inv_fluid):
         av_vels = jnp.zeros((iters,), dtype=av_dtype)
-        return core(cells, obstacles, inv_fluid, av_vels, 0)
+        t0 = 0
+        for core, n in cores:
+            cells, av_vels = core(cells, obstacles, inv_fluid, av_vels, t0)
+            t0 += n
+        return cells, av_vels
 
     return simulate
 
@@ -163,11 +201,15 @@ def make_simulate(params: Params, kernel: str = "auto", n_iters: int | None = No
 def make_chunk(params: Params, kernel: str, chunk_iters: int):
     """Jitted chunk runner ``(cells, obstacles, inv, av, t0) -> (cells, av)``
     executing ``chunk_iters`` steps that write av_vels[t0:t0+chunk_iters]."""
-    impl = _select_impl(
-        kernel, params, paired=chunk_iters % 2 == 0, n_iters=chunk_iters
-    )
-    core = _loop_core(impl, chunk_iters)
-    return jax.jit(core, donate_argnums=(0, 3))
+    cores = _segments(kernel, params, chunk_iters)
+
+    def chunk(cells, obstacles, inv_fluid, av_vels, t0):
+        for core, n in cores:
+            cells, av_vels = core(cells, obstacles, inv_fluid, av_vels, t0)
+            t0 = t0 + n
+        return cells, av_vels
+
+    return jax.jit(chunk, donate_argnums=(0, 3))
 
 
 def _fence(small_output) -> None:

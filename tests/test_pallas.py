@@ -251,20 +251,42 @@ class TestFusedTwoStep:
         impl = self._check(p, obstacles)
         assert type(impl) is pf.TransposedCarryStep
 
-    def test_odd_iters_fall_back_to_single_step(self):
-        from lbm_tpu.runner import _select_impl
+    def test_odd_iters_run_fused_main_plus_tail(self):
+        """Indivisible iteration counts split into a paired-fused main
+        segment plus a short unfused tail (runner._segments), instead of
+        running the whole trajectory at depth 1 — the reference's loop
+        ran any maxIters at full speed (d2q9-bgk.c:191)."""
+        from lbm_tpu.ops.pallas_fused import plan_iters
+        from lbm_tpu.runner import _segments, run_simulation
 
         p = small_params(ny=32, nx=32, max_iters=21)
-        impl = _select_impl("pallas", p, paired=False, n_iters=21)
-        assert impl.fused == 1 and impl.steps_per_call == 1
+        main, tail = plan_iters(p, 21)
+        assert main == 20 and tail == 1
+        assert [n for _, n in _segments("pallas", p, 21)] == [20, 1]
         obstacles = generate_obstacles(p.nx, p.ny)
-        from lbm_tpu.runner import run_simulation
 
         base = run_simulation(p, obstacles, kernel="reference")
         got = run_simulation(p, obstacles, kernel="pallas")
         np.testing.assert_allclose(
             base.cells, got.cells, rtol=2e-5, atol=5e-8
         )
+        np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+        assert (np.asarray(got.av_vels) != 0).all()
+
+    @pytest.mark.parametrize("iters", [5, 6])
+    def test_short_indivisible_iters(self, iters):
+        """Counts shorter than (or equal to) one paired pass run as a
+        single segment at whatever depth divides them."""
+        from lbm_tpu.runner import run_simulation
+
+        p = small_params(ny=32, nx=32, max_iters=iters)
+        obstacles = generate_obstacles(p.nx, p.ny)
+        base = run_simulation(p, obstacles, kernel="reference")
+        got = run_simulation(p, obstacles, kernel="pallas")
+        np.testing.assert_allclose(
+            base.cells, got.cells, rtol=2e-5, atol=5e-8
+        )
+        np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
 
 
 def test_depth8_opt_in_matches_reference(monkeypatch):

@@ -242,6 +242,29 @@ def test_sharded_fused_two_step_transposed(monkeypatch):
     np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
 
 
+@pytest.mark.parametrize("ny,nx,iters", [(64, 16, 11), (16, 128, 11)])
+def test_sharded_segments_odd_iters(ny, nx, iters):
+    """Indivisible iteration counts run as a paired-fused main segment
+    plus a short tail inside the one shard_map program
+    (halo._shard_segments) for both the row-sharded and transposed
+    x-sharded plans, and still match the unsharded trajectory."""
+    from lbm_tpu.parallel.halo import _shard_segments, plan_sharding
+
+    p = small_params(ny=ny, nx=nx, max_iters=iters)
+    mesh = make_mesh(8)
+    transposed, decomp, _, _ = plan_sharding(p, mesh, "pallas")
+    segs = _shard_segments(p, decomp, "pallas", iters, transposed)
+    assert [n for _, n in segs] == [8, 3]
+    assert segs[0][0].steps_per_call == 4  # paired depth-2 main
+
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas", mesh=mesh)
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+    assert (np.asarray(got.av_vels) != 0).all()
+
+
 def test_sharded_f64_without_x64_raises():
     """The x64 guard must cover the sharded builders too, not just the
     single-device runner (review finding r2)."""
