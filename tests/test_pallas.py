@@ -273,6 +273,24 @@ class TestFusedTwoStep:
         np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
         assert (np.asarray(got.av_vels) != 0).all()
 
+    def test_plan_iters_official_scenes(self):
+        """Every official scene length divides the preferred paired
+        granularity (4 for chip-resident depth-2 grids, 8 for depth-4
+        large states), so they all plan as one unsplit segment — the
+        segmented path only engages for non-official lengths."""
+        from lbm_tpu.ops.pallas_fused import plan_iters
+
+        sq = small_params(ny=1024, nx=1024, max_iters=20000)
+        assert plan_iters(sq, 20000) == (20000, 0)
+        wide = small_params(ny=1024, nx=16384, max_iters=20000)
+        assert plan_iters(wide, 20000) == (20000, 0)
+        stress = small_params(ny=128, nx=131072, max_iters=20000)
+        assert plan_iters(stress, 20000) == (20000, 0)
+        # A non-official length on the same large grid does split, into
+        # a paired depth-4 main and the shortest possible tail.
+        assert plan_iters(wide, 20004) == (20000, 4)
+        assert plan_iters(sq, 20001) == (20000, 1)
+
     @pytest.mark.parametrize("iters", [5, 6])
     def test_short_indivisible_iters(self, iters):
         """Counts shorter than (or equal to) one paired pass run as a
