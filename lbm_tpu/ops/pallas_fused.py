@@ -1134,29 +1134,45 @@ def _depth_preference(ny: int, nx: int) -> list[int]:
     return [4, 2]
 
 
+def plan_split(iters: int, probes) -> tuple[int, int, object | None]:
+    """Shared segment planner: split ``iters`` into ``(main, tail,
+    winning_probe)`` so the main segment runs at the preferred fusion
+    depth with aliased pairing even when the total iteration count is
+    odd or otherwise indivisible (the reference's loop ran any maxIters
+    at full speed, d2q9-bgk.c:191; fusion must not regress that).
+
+    ``probes``: candidate paired impls, most-preferred first (built by
+    the single-device and sharded callers from their own impl classes).
+    A probe whose construction demoted the fusion depth or pairing is
+    skipped. The tail is shorter than one paired pass and runs at
+    whatever depth divides it (fused but unpaired when possible) — at
+    most ``2*depth - 1`` slower steps out of the whole run. Returns
+    ``(iters, 0, None)`` when no split helps."""
+    for probe in probes:
+        d = probe.fused
+        if d <= 1 or probe.steps_per_call != 2 * d:
+            continue
+        g = 2 * d
+        if iters > g and iters % g:
+            return iters - iters % g, iters % g, probe
+        break
+    return iters, 0, None
+
+
 def plan_iters(params: Params, iters: int) -> tuple[int, int]:
-    """Split ``iters`` into ``(main, tail)`` so the main segment runs at
-    the grid's preferred fusion depth with pairing even when the total
-    iteration count is odd or otherwise indivisible (the reference's
-    loop ran any maxIters at full speed, d2q9-bgk.c:191; fusion must not
-    regress that). The tail is shorter than one paired pass and runs at
-    whatever depth divides it — at most ``2*depth - 1`` slow steps out
-    of the whole run. Returns ``(iters, 0)`` when no split helps."""
+    """Single-device :func:`plan_split`: ``(main, tail)`` for the
+    grid's preferred execution layout and depth preference."""
     ny, nx = params.ny, params.nx
     cls = (
         TransposedCarryStep
         if nx >= 2 * ny and nx % 8 == 0
         else CarryStep
     )
-    for d in _depth_preference(ny, nx):
-        probe = cls(params, paired=True, fuse=d)
-        g = 2 * d
-        if probe.fused != d or probe.steps_per_call != g:
-            continue
-        if iters > g and iters % g:
-            return iters - iters % g, iters % g
-        break
-    return iters, 0
+    main, tail, _ = plan_split(
+        iters,
+        (cls(params, paired=True, fuse=d) for d in _depth_preference(ny, nx)),
+    )
+    return main, tail
 
 
 def make_carry_step(params: Params, ny: int, nx: int, paired: bool = True,

@@ -312,6 +312,14 @@ def plan_sharding(params: Params, mesh: Mesh, kernel: str):
     )
 
 
+def _pallas_shard_geometry(params: Params, decomp: RowDecomposition,
+                           transposed: bool):
+    """(impl class, per-shard rows, lane width) for the pallas path."""
+    cls = _TransposedPallasShardImpl if transposed else _PallasShardImpl
+    width = params.ny if transposed else params.nx
+    return cls, decomp.local_ny, width
+
+
 def _shard_impl(params: Params, decomp: RowDecomposition, kernel: str,
                 n_iters: int, transposed: bool = False):
     """Pick the per-shard step implementation, preferring the fused
@@ -321,10 +329,10 @@ def _shard_impl(params: Params, decomp: RowDecomposition, kernel: str,
     if kernel == "pallas":
         from lbm_tpu.ops.pallas_fused import _depth_preference
 
-        cls = _TransposedPallasShardImpl if transposed else _PallasShardImpl
-        local_ny = -(-decomp.ny // decomp.n_shards)
-        for d in _depth_preference(local_ny, params.nx if not transposed
-                                   else params.ny):
+        cls, local_ny, width = _pallas_shard_geometry(
+            params, decomp, transposed
+        )
+        for d in _depth_preference(local_ny, width):
             if n_iters % d == 0:
                 impl = cls(params, decomp,
                            paired=n_iters % (2 * d) == 0, fuse=d)
@@ -337,40 +345,42 @@ def _shard_impl(params: Params, decomp: RowDecomposition, kernel: str,
 def _shard_segments(params: Params, decomp: RowDecomposition, kernel: str,
                     iters: int, transposed: bool):
     """Plan the run as ``[(impl, n_steps), ...]`` (the sharded analogue
-    of runner._segments): one segment when the preferred fused
-    granularity divides ``iters``, otherwise a main paired-fused segment
-    plus a short unfused tail so arbitrary iteration counts keep the
-    fused kernel's speed."""
+    of runner._segments, via the shared pallas_fused.plan_split): one
+    segment when the preferred fused granularity divides ``iters``,
+    otherwise a main paired-fused segment plus a tail shorter than one
+    paired pass (fused but unpaired when a depth divides it), so
+    arbitrary iteration counts keep the fused kernel's speed."""
     if kernel == "pallas" and iters > 0:
-        from lbm_tpu.ops.pallas_fused import _depth_preference
+        from lbm_tpu.ops.pallas_fused import _depth_preference, plan_split
 
-        cls = _TransposedPallasShardImpl if transposed else _PallasShardImpl
-        local_ny = -(-decomp.ny // decomp.n_shards)
-        width = params.ny if transposed else params.nx
-        for d in _depth_preference(local_ny, width):
-            probe = cls(params, decomp, paired=True, fuse=d)
-            g = 2 * d
-            if probe.fused != d or probe.steps_per_call != g:
-                continue
-            if iters > g and iters % g:
-                tail = iters % g
-                return [
-                    (probe, iters - tail),
-                    (_shard_impl(params, decomp, kernel, n_iters=tail,
-                                 transposed=transposed), tail),
-                ]
-            break
+        cls, local_ny, width = _pallas_shard_geometry(
+            params, decomp, transposed
+        )
+        main, tail, probe = plan_split(
+            iters,
+            (
+                cls(params, decomp, paired=True, fuse=d)
+                for d in _depth_preference(local_ny, width)
+            ),
+        )
+        if tail:
+            return [
+                (probe, main),
+                (_shard_impl(params, decomp, kernel, n_iters=tail,
+                             transposed=transposed), tail),
+            ]
     return [(_shard_impl(params, decomp, kernel, n_iters=iters,
                          transposed=transposed), iters)]
 
 
-def _segment_loop(segs, cells, obstacles, inv_fluid, av_partial, base):
+def _segment_loop(segs, cells, obstacles, inv_fluid, av_partial):
     """Run the planned segments, writing per-step scaled tot_u values
-    into ``av_partial`` starting at offset ``base`` (python int or
-    traced scalar). Returns (final_cells, av_partial)."""
+    into ``av_partial`` (index = step within this program).
+    Returns (final_cells, av_partial)."""
     off = 0
     for impl, n in segs:
         spc = impl.steps_per_call
+        assert n % spc == 0
         prepared = impl.prepare(obstacles)  # loop-invariant
 
         def body(i, loop_carry, impl=impl, prepared=prepared, spc=spc,
@@ -378,7 +388,7 @@ def _segment_loop(segs, cells, obstacles, inv_fluid, av_partial, base):
             carry, av = loop_carry
             carry, tots = impl.step(carry, prepared)
             av = lax.dynamic_update_slice(
-                av, tots * inv_fluid, (base + off + i * spc,)
+                av, tots * inv_fluid, (off + i * spc,)
             )
             return carry, av
 
@@ -413,7 +423,7 @@ def make_sharded_simulate(
     def local_sim(cells, obstacles, inv_fluid):
         av_partial = jnp.zeros((iters,), dtype=cells.dtype)
         cells, av_partial = _segment_loop(
-            segs, cells, obstacles, inv_fluid, av_partial, 0
+            segs, cells, obstacles, inv_fluid, av_partial
         )
         # One reduction for the whole trajectory, not one per step — the
         # reference's single end-of-run MPI_Reduce (d2q9-bgk.c:445).
@@ -452,7 +462,7 @@ def make_sharded_chunk(
     def local_chunk(cells, obstacles, inv_fluid, av, t0):
         av_partial = jnp.zeros((chunk_iters,), dtype=cells.dtype)
         cells, av_partial = _segment_loop(
-            segs, cells, obstacles, inv_fluid, av_partial, 0
+            segs, cells, obstacles, inv_fluid, av_partial
         )
         av = lax.dynamic_update_slice(av, lax.psum(av_partial, AXIS), (t0,))
         return cells, av

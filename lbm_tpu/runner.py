@@ -154,8 +154,9 @@ def _loop_core(impl, n_steps):
 def _segments(kernel: str, params: Params, iters: int):
     """Plan the run as ``[(loop_core, n_steps), ...]``. One segment when
     the kernel's preferred step granularity divides ``iters``; otherwise
-    a main segment at the preferred fusion depth (paired) plus a short
-    unfused tail, so arbitrary iteration counts keep full speed (the
+    a main segment at the preferred fusion depth (paired) plus a tail
+    shorter than one paired pass (still fused when a depth divides it,
+    just unpaired), so arbitrary iteration counts keep full speed (the
     reference's loop had no such divisibility constraint,
     d2q9-bgk.c:191)."""
     kernel = _resolve_kernel(kernel, params)

@@ -253,7 +253,7 @@ class TestFusedTwoStep:
 
     def test_odd_iters_run_fused_main_plus_tail(self):
         """Indivisible iteration counts split into a paired-fused main
-        segment plus a short unfused tail (runner._segments), instead of
+        segment plus a short unpaired tail (runner._segments), instead of
         running the whole trajectory at depth 1 — the reference's loop
         ran any maxIters at full speed (d2q9-bgk.c:191)."""
         from lbm_tpu.ops.pallas_fused import plan_iters
@@ -291,13 +291,16 @@ class TestFusedTwoStep:
         assert plan_iters(wide, 20004) == (20000, 4)
         assert plan_iters(sq, 20001) == (20000, 1)
 
-    @pytest.mark.parametrize("iters", [5, 6])
-    def test_short_indivisible_iters(self, iters):
-        """Counts shorter than (or equal to) one paired pass run as a
-        single segment at whatever depth divides them."""
-        from lbm_tpu.runner import run_simulation
+    @pytest.mark.parametrize("iters,segs", [(3, [3]), (6, [4, 2])])
+    def test_short_indivisible_iters(self, iters, segs):
+        """iters=3 (shorter than one paired pass, no depth divides it)
+        is the genuine single-segment fallback: the whole run steps the
+        depth-1 unpaired kernel. iters=6 splits into a paired depth-2
+        main and a fused-but-unpaired depth-2 tail."""
+        from lbm_tpu.runner import _segments, run_simulation
 
         p = small_params(ny=32, nx=32, max_iters=iters)
+        assert [n for _, n in _segments("pallas", p, iters)] == segs
         obstacles = generate_obstacles(p.nx, p.ny)
         base = run_simulation(p, obstacles, kernel="reference")
         got = run_simulation(p, obstacles, kernel="pallas")
