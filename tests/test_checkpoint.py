@@ -1,6 +1,7 @@
 """Checkpoint/resume and debug-mode tests."""
 
 import numpy as np
+import pytest
 
 from lbm_tpu.obstacles import generate_obstacles
 from lbm_tpu.params import Params
@@ -146,16 +147,19 @@ def test_f64_pallas_rejected_cleanly():
         run_simulation(p64, obstacles, kernel="auto", n_iters=2)
 
 
-def test_pallas_fused_checkpoint_resume(tmp_path):
+@pytest.mark.parametrize("stride", [8, 7])
+def test_pallas_fused_checkpoint_resume(tmp_path, stride):
     """Chunked checkpoint/resume through the fused pallas kernel: each
     chunk re-gathers the double edge arrays from the checkpointed
-    lattice, so the trajectory must be independent of the chunking."""
+    lattice, so the trajectory must be independent of the chunking.
+    stride=7 makes every chunk indivisible by the paired granularity,
+    so each chunk runs as segments (make_chunk via runner._segments)."""
     p = small_params(ny=32, nx=32, max_iters=24)
     obstacles = generate_obstacles(p.nx, p.ny)
     full = run_simulation(p, obstacles, kernel="pallas")
     chunked = run_simulation(
         p, obstacles, kernel="pallas",
-        checkpoint_every=8, checkpoint_file=tmp_path / "ck.npz",
+        checkpoint_every=stride, checkpoint_file=tmp_path / "ck.npz",
     )
     np.testing.assert_allclose(full.cells, chunked.cells, rtol=2e-5, atol=5e-8)
     np.testing.assert_allclose(full.av_vels, chunked.av_vels, rtol=1e-4)
