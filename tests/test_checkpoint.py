@@ -147,6 +147,24 @@ def test_f64_pallas_rejected_cleanly():
         run_simulation(p64, obstacles, kernel="auto", n_iters=2)
 
 
+def test_sharded_pallas_odd_stride_checkpoint(tmp_path):
+    """Sharded chunked runner with an odd stride: each 7-step chunk of
+    the shard_map program runs as segments (halo._shard_segments inside
+    make_sharded_chunk) and the trajectory still matches the unsharded
+    reference."""
+    from lbm_tpu.parallel.decomp import make_mesh
+
+    p = small_params(ny=32, nx=32, max_iters=20)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+    ck = run_simulation(
+        p, obstacles, kernel="pallas", mesh=make_mesh(4),
+        checkpoint_every=7, checkpoint_file=tmp_path / "ck.npz",
+    )
+    np.testing.assert_allclose(base.cells, ck.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, ck.av_vels, rtol=1e-4)
+
+
 @pytest.mark.parametrize("stride", [8, 7])
 def test_pallas_fused_checkpoint_resume(tmp_path, stride):
     """Chunked checkpoint/resume through the fused pallas kernel: each
