@@ -16,8 +16,11 @@ from lbm_tpu.state import initial_state
 
 def random_scene(seed, ny=32, nx=64, density_frac=0.1):
     rng = np.random.default_rng(seed)
+    # Random iteration counts (including odd/prime ones) exercise the
+    # segmented main+tail planning alongside the physics.
     params = Params(
-        nx=nx, ny=ny, max_iters=12, reynolds_dim=int(rng.integers(1, 100)),
+        nx=nx, ny=ny, max_iters=int(rng.integers(9, 16)),
+        reynolds_dim=int(rng.integers(1, 100)),
         density=float(rng.uniform(0.05, 0.5)),
         accel=float(rng.uniform(0.001, 0.02)),
         omega=float(rng.uniform(0.5, 1.95)),
@@ -35,13 +38,13 @@ def test_random_scene_all_paths_agree(seed):
     inv = num_non_obstacles_r(obstacles)
     obs = jnp.asarray(obstacles)
 
-    base_c, base_a = make_simulate(params, kernel="reference", n_iters=12)(
+    base_c, base_a = make_simulate(params, kernel="reference", n_iters=params.max_iters)(
         initial_state(params), obs, inv
     )
     base_c, base_a = np.asarray(base_c), np.asarray(base_a)
     assert np.isfinite(base_c).all() and np.isfinite(base_a).all()
 
-    pallas_c, pallas_a = make_simulate(params, kernel="pallas", n_iters=12)(
+    pallas_c, pallas_a = make_simulate(params, kernel="pallas", n_iters=params.max_iters)(
         initial_state(params), obs, inv
     )
     np.testing.assert_allclose(base_c, np.asarray(pallas_c), rtol=5e-5, atol=1e-7)
@@ -50,7 +53,7 @@ def test_random_scene_all_paths_agree(seed):
     shard = run_simulation(params, obstacles, kernel="reference",
                            mesh=make_mesh(4))
     np.testing.assert_array_equal(base_c, shard.cells[..., :, :])
-    np.testing.assert_allclose(base_a, shard.av_vels[:12], rtol=2e-5)
+    np.testing.assert_allclose(base_a, shard.av_vels[:params.max_iters], rtol=2e-5)
 
 
 @pytest.mark.parametrize("seed", [7, 8])
@@ -64,10 +67,10 @@ def test_random_wide_scene_transposed(seed):
     )
     inv = num_non_obstacles_r(obstacles)
     obs = jnp.asarray(obstacles)
-    base_c, base_a = make_simulate(params, kernel="reference", n_iters=12)(
+    base_c, base_a = make_simulate(params, kernel="reference", n_iters=params.max_iters)(
         initial_state(params), obs, inv
     )
-    pallas_c, pallas_a = make_simulate(params, kernel="pallas", n_iters=12)(
+    pallas_c, pallas_a = make_simulate(params, kernel="pallas", n_iters=params.max_iters)(
         initial_state(params), obs, inv
     )
     np.testing.assert_allclose(
@@ -87,7 +90,7 @@ def test_mass_conserved_with_forcing():
     obs = jnp.asarray(obstacles)
     c0 = initial_state(params)
     before = float(total_density(c0))
-    cells, _ = make_simulate(params, kernel="reference", n_iters=12)(c0, obs, inv)
+    cells, _ = make_simulate(params, kernel="reference", n_iters=params.max_iters)(c0, obs, inv)
     after = float(total_density(cells))
     # Conservation is exact in real arithmetic; f32 rounding drifts a few
     # 1e-6 relative per step on a far-from-equilibrium random state (the
