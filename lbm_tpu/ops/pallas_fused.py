@@ -355,29 +355,13 @@ def gather_edge_rows(interior, obstacles, by, accel_mask=None):
     b*by+by-1 of each block, with channel OBS_CH carrying the row's
     obstacle flags (and ACC_CH its accel-line flags when given). The
     block index leads on an untiled axis so kernel DMAs never slice the
-    tiled row dimension."""
-    obs_f = obstacles.astype(jnp.float32)
-    acc_f = (
-        accel_mask.astype(jnp.float32)
-        if accel_mask is not None
-        else jnp.zeros_like(obs_f)
-    )
+    tiled row dimension.
 
-    def build(rows, obs_rows, acc_rows):
-        base = rows.transpose(1, 0, 2)  # (n_blocks, 9, nx)
-        tail = jnp.zeros(
-            (base.shape[0], QP - Q - 2, base.shape[2]), jnp.float32
-        )
-        return jnp.concatenate(
-            [base, obs_rows[:, None, :], acc_rows[:, None, :], tail], axis=1
-        )
-
-    lasts = build(
-        interior[:, by - 1 :: by, :], obs_f[by - 1 :: by, :],
-        acc_f[by - 1 :: by, :],
-    )
-    firsts = build(interior[:, ::by, :], obs_f[::by, :], acc_f[::by, :])
-    return firsts, lasts
+    Exactly the depth-1 case of :func:`gather_edge_rows_fused`
+    (QP == EDGE_STRIDE and the slot layouts coincide), so it delegates
+    — one builder owns the channel layout."""
+    return gather_edge_rows_fused(interior, obstacles, by, 1,
+                                  accel_mask=accel_mask)
 
 
 def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret,
@@ -450,7 +434,8 @@ def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret,
             # headroom over the computed footprint.
             vmem_limit_bytes=min(
                 _VMEM_CAP,
-                4 * (2 * Q * by * nx * 4 + 2 * Q * by * nx * 4) + (1 << 22),
+                4 * (2 * Q * by * nx * 4 + 2 * Q * by * nx * 4)
+                + 32 * QP * nx + (1 << 22),
             ),
         ),
         cost_estimate=pl.CostEstimate(
@@ -865,9 +850,13 @@ def _pallas_step_fused(interior, firsts, lasts, obs_i8, *, omega_f,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # Counts the double-buffered body slots AND the depth-scaled
+            # edge scratch + pipelined edge output blocks (undercounting
+            # them fails the deep-fusion opt-ins at wide nx).
             vmem_limit_bytes=min(
                 _VMEM_CAP,
-                4 * (2 * Q * by * nx * 4 + 2 * Q * by * nx * 4) + (1 << 22),
+                4 * (2 * Q * by * nx * 4 + 2 * Q * by * nx * 4)
+                + 32 * qpd * nx + (1 << 22),
             ),
         ),
         cost_estimate=pl.CostEstimate(
@@ -1110,9 +1099,20 @@ class TransposedCarryStep(CarryStep):
             self.steps_per_call = 2 if paired else 1
 
 
-def _max_fuse_depth() -> int:
-    """Deepest temporal fusion to attempt (experiment knob)."""
-    return int(os.environ.get("LBM_PALLAS_DEPTH", 4))
+def supports_tpu_grid(ny: int, nx: int) -> bool:
+    """Whether the Mosaic (compiled, non-interpret) kernel can run this
+    grid on real TPU: block DMA offsets and sizes must stay
+    (8, 128)-tile aligned in rows (CLAUDE.md Mosaic constraints), so the
+    (possibly transposed) row count and the block height it implies must
+    be 8-multiples. Every official scene qualifies; odd shapes like
+    100x100 do not and should take the XLA reference kernel instead
+    (runner._resolve_kernel does this automatically for kernel="auto").
+    Interpret mode has no such constraint — CPU tests cover odd shapes."""
+    transposed = nx >= 2 * ny and nx % 8 == 0
+    h = nx if transposed else ny
+    lanes = ny if transposed else nx
+    by = _pick_block_rows(h, lanes)
+    return h % 8 == 0 and by % 8 == 0
 
 
 def _depth_preference(ny: int, nx: int) -> list[int]:
@@ -1195,7 +1195,10 @@ def make_carry_step(params: Params, ny: int, nx: int, paired: bool = True,
                            fuse=d)
                 if impl.fused == d:
                     return impl
-    return cls(params, paired=paired)
+    # Fall-through: no preference depth divides n_iters. Pairing still
+    # needs an even count (its sharded twin _shard_impl guards this too).
+    even = n_iters is None or n_iters % 2 == 0
+    return cls(params, paired=paired and even)
 
 
 def make_fused_step(params: Params):

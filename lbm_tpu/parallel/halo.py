@@ -409,9 +409,13 @@ def make_sharded_simulate(
     """Jitted whole-simulation function over a row-sharded lattice:
     ``(cells0, obstacles, inv_fluid) -> (final_cells, av_vels)``.
 
-    ``cells0`` (9, ny, nx) sharded P(None, 'y', None); ``obstacles``
-    (ny, nx) sharded P('y', None); ``av_vels`` comes back replicated.
-    """
+    Input shardings depend on the plan: row decomposition shards
+    ``cells0`` (9, ny, nx) P(None, 'y', None) and ``obstacles``
+    P('y', None); wide pallas grids use the transposed plan —
+    P(None, None, 'y') / P(None, 'y') (physical x). Place inputs with
+    :func:`shard_inputs` (which applies plan_sharding) rather than
+    hand-building specs, or the compiled call reshards the lattice
+    inside the timed region. ``av_vels`` comes back replicated."""
     from lbm_tpu.params import ensure_dtype_computable
 
     ensure_dtype_computable(params)

@@ -65,13 +65,23 @@ class _SimpleImpl:
 
 
 def _resolve_kernel(kernel: str, params: Params) -> str:
-    """Resolve ``auto`` to a concrete kernel name and validate dtype."""
+    """Resolve ``auto`` to a concrete kernel name and validate dtype.
+
+    On real TPU, grids the Mosaic kernel's DMA-tile alignment cannot
+    serve (non-8-aligned row counts — every official scene qualifies,
+    odd shapes like 100x100 do not) resolve to the XLA reference kernel
+    under ``auto`` and are rejected with a clear error when pallas is
+    requested explicitly; interpret mode (CPU) has no such constraint."""
     if kernel == "auto":
         if jax.default_backend() == "tpu" and params.dtype == np.float32:
             try:
-                from lbm_tpu.ops import pallas_fused  # noqa: F401
+                from lbm_tpu.ops import pallas_fused
 
-                kernel = "pallas"
+                kernel = (
+                    "pallas"
+                    if pallas_fused.supports_tpu_grid(params.ny, params.nx)
+                    else "reference"
+                )
             except ImportError:
                 kernel = "reference"
         else:
@@ -81,6 +91,15 @@ def _resolve_kernel(kernel: str, params: Params) -> str:
             "the pallas kernel is float32-only; use --kernel reference "
             "with --precision float64"
         )
+    if kernel == "pallas" and jax.default_backend() == "tpu":
+        from lbm_tpu.ops import pallas_fused
+
+        if not pallas_fused.supports_tpu_grid(params.ny, params.nx):
+            raise ValueError(
+                f"grid {params.ny}x{params.nx}: the Mosaic kernel needs "
+                "an 8-aligned (possibly transposed) row count on real "
+                "TPU; use --kernel reference for this grid"
+            )
     if kernel not in ("reference", "pallas"):
         raise ValueError(f"unknown kernel {kernel!r}")
     from lbm_tpu.params import ensure_dtype_computable

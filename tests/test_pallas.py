@@ -310,6 +310,32 @@ class TestFusedTwoStep:
         np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
 
 
+def test_supports_tpu_grid_and_resolution(monkeypatch):
+    """Grids whose (possibly transposed) row count is not 8-aligned
+    cannot keep Mosaic DMA tiles aligned on real TPU: auto resolution
+    must fall back to the reference kernel there, and an explicit
+    pallas request must fail with a clear error instead of a Mosaic
+    compile crash. 8-aligned grids (all official scenes) still resolve
+    to pallas."""
+    from lbm_tpu.ops.pallas_fused import supports_tpu_grid
+    from lbm_tpu import runner
+
+    assert supports_tpu_grid(1024, 1024)
+    assert supports_tpu_grid(1024, 16384)  # transposed: h = nx
+    assert supports_tpu_grid(128, 131072)
+    assert not supports_tpu_grid(100, 100)
+    assert supports_tpu_grid(25, 64)  # transposes: h = nx = 64, aligned
+    assert not supports_tpu_grid(25, 32)  # no transpose, h = 25
+
+    monkeypatch.setattr(runner.jax, "default_backend", lambda: "tpu")
+    p_ok = small_params(ny=128, nx=128)
+    assert runner._resolve_kernel("auto", p_ok) == "pallas"
+    p_odd = small_params(ny=100, nx=100)
+    assert runner._resolve_kernel("auto", p_odd) == "reference"
+    with pytest.raises(ValueError, match="8-aligned"):
+        runner._resolve_kernel("pallas", p_odd)
+
+
 def test_depth8_opt_in_matches_reference(monkeypatch):
     """Depth 8 is available behind LBM_PALLAS_DEPTH (measured slower on
     the chip, so not a default) and must stay correct."""
