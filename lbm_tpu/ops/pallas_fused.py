@@ -923,6 +923,50 @@ def transpose_state(cells):
     return jnp.stack([cells[SIGMA[k]].T for k in range(Q)])
 
 
+def carry_init(impl, cells, obstacles, accel_mask=None):
+    """Shared carry construction for the (cells, firsts, lasts) stepping
+    protocol (single-chip :class:`CarryStep` and the sharded impls in
+    parallel/halo.py): gather the depth-deep per-block edge arrays and,
+    in paired mode, allocate the ping-pong buffer set whose slots the
+    aliased kernel calls keep fixed (docs/PERF.md v3)."""
+    by = _pick_block_rows(cells.shape[1], cells.shape[2])
+    if impl.fused > 1:
+        firsts, lasts = gather_edge_rows_fused(
+            cells, obstacles, by, impl.fused, accel_mask=accel_mask
+        )
+    else:
+        firsts, lasts = gather_edge_rows(
+            cells, obstacles, by, accel_mask=accel_mask
+        )
+    if impl.steps_per_call == 2 * impl.fused:
+        return (
+            cells, jnp.zeros_like(cells),
+            firsts, lasts, jnp.zeros_like(firsts), jnp.zeros_like(lasts),
+        )
+    return (cells, firsts, lasts)
+
+
+def carry_step(impl, carry, prepared):
+    """Shared step driver for the carry protocol. ``impl`` supplies
+    ``_fused_call`` / ``_single_call`` with signature
+    ``(cells, firsts, lasts, prepared, dst) -> (new, f', l', tots)``
+    (tots: (depth,) fused, scalar single). Paired mode runs TWO aliased
+    calls whose outputs rotate through the donated ping-pong buffers, so
+    every while-carry slot keeps a fixed buffer and XLA never inserts
+    carry copies; unpaired runs one call."""
+    fused = impl.fused > 1
+    call = impl._fused_call if fused else impl._single_call
+    if impl.steps_per_call == 2 * impl.fused:
+        cells_a, cells_b, fa, la, fb, lb = carry
+        n1, f1, l1, t1 = call(cells_a, fa, la, prepared, (cells_b, fb, lb))
+        n2, f2, l2, t2 = call(n1, f1, l1, prepared, (cells_a, fa, la))
+        tots = jnp.concatenate([t1, t2]) if fused else jnp.stack([t1, t2])
+        return (n2, n1, f2, l2, f1, l1), tots
+    cells, firsts, lasts = carry
+    new, f2, l2, tots = call(cells, firsts, lasts, prepared, None)
+    return (new, f2, l2), (tots if fused else tots[None])
+
+
 class CarryStep:
     """Single-chip step implementation carrying the lattice plus per-block
     edge-row arrays; the kernel ring-indexes neighbour rows directly from
@@ -975,93 +1019,42 @@ class CarryStep:
 
     def init(self, cells, prepared):
         obstacles, _ = prepared
-        cells = self._transform_in(cells)
-        if self.fused > 1:
-            firsts, lasts = gather_edge_rows_fused(
-                cells, obstacles, self._by, self.fused
-            )
-            if self.steps_per_call == 2 * self.fused:
-                return (
-                    cells, jnp.zeros_like(cells),
-                    firsts, lasts,
-                    jnp.zeros_like(firsts), jnp.zeros_like(lasts),
-                )
-            return (cells, firsts, lasts)
-        firsts, lasts = gather_edge_rows(cells, obstacles, self._by)
-        if self.steps_per_call == 2:
-            return (
-                cells, jnp.zeros_like(cells),
-                firsts, lasts, jnp.zeros_like(firsts), jnp.zeros_like(lasts),
-            )
-        return (cells, firsts, lasts)
+        return carry_init(self, self._transform_in(cells), obstacles)
 
-    def _single(self, cells, firsts, lasts, obs_i8, accel):
+    def _fused_call(self, cells, firsts, lasts, prepared, dst):
+        _, obs_i8 = prepared
+        return _pallas_step_fused(
+            cells, firsts, lasts, obs_i8, omega_f=self.omega,
+            interpret=_interpret(), accel=self._accel_spec(),
+            depth=self.fused, dst=dst,
+        )
+
+    def _single_call(self, cells, firsts, lasts, prepared, dst):
+        obstacles, obs_i8 = prepared
+        if self._in_kernel:
+            return _pallas_step(
+                cells, lasts, firsts, obs_i8, omega_f=self.omega,
+                interpret=_interpret(), accel=self._accel_spec(),
+                ring=True, dst=dst,
+            )
+        # Fallback: XLA row update + edge-array mirror when the forced
+        # row is a block edge (the reference's buffer flags,
+        # d2q9-bgk.c:244-245). Never paired, so dst is always None.
+        row, by = self._h - 2, self._by
+        cells = accelerate_flow(
+            cells, obstacles, self.params.accel_w1, self.params.accel_w2
+        )
+        if row % by == 0:
+            firsts = firsts.at[row // by, :Q].set(cells[:, row, :])
+        if row % by == by - 1:
+            lasts = lasts.at[row // by, :Q].set(cells[:, row, :])
         return _pallas_step(
-            cells, lasts, firsts, obs_i8,
-            omega_f=self.omega, interpret=_interpret(), accel=accel,
-            ring=True,
+            cells, lasts, firsts, obs_i8, omega_f=self.omega,
+            interpret=_interpret(), accel=None, ring=True, dst=dst,
         )
 
     def step(self, carry, prepared):
-        obstacles, obs_i8 = prepared
-        if self.fused > 1:
-            accel = self._accel_spec()
-            if self.steps_per_call == 2 * self.fused:
-                cells_a, cells_b, fa, la, fb, lb = carry
-                n1, f1, l1, tots1 = _pallas_step_fused(
-                    cells_a, fa, la, obs_i8, omega_f=self.omega,
-                    interpret=_interpret(), accel=accel, depth=self.fused,
-                    dst=(cells_b, fb, lb),
-                )
-                n2, f2, l2, tots2 = _pallas_step_fused(
-                    n1, f1, l1, obs_i8, omega_f=self.omega,
-                    interpret=_interpret(), accel=accel, depth=self.fused,
-                    dst=(cells_a, fa, la),
-                )
-                return (
-                    (n2, n1, f2, l2, f1, l1),
-                    jnp.concatenate([tots1, tots2]),
-                )
-            cells, firsts, lasts = carry
-            new, f2, l2, tots = _pallas_step_fused(
-                cells, firsts, lasts, obs_i8, omega_f=self.omega,
-                interpret=_interpret(), accel=accel, depth=self.fused,
-            )
-            return (new, f2, l2), tots
-        if self.steps_per_call == 2:
-            cells_a, cells_b, fa, la, fb, lb = carry
-            accel = self._accel_spec()
-            new1, f1, l1, t1 = _pallas_step(
-                cells_a, la, fa, obs_i8,
-                omega_f=self.omega, interpret=_interpret(), accel=accel,
-                ring=True, dst=(cells_b, fb, lb),
-            )
-            new2, f2, l2, t2 = _pallas_step(
-                new1, l1, f1, obs_i8,
-                omega_f=self.omega, interpret=_interpret(), accel=accel,
-                ring=True, dst=(cells_a, fa, la),
-            )
-            return (new2, new1, f2, l2, f1, l1), jnp.stack([t1, t2])
-
-        cells, firsts, lasts = carry
-        if self._in_kernel:
-            new, f2, l2, tot = self._single(
-                cells, firsts, lasts, obs_i8, self._accel_spec()
-            )
-        else:
-            # Fallback: XLA row update + edge-array mirror when the forced
-            # row is a block edge (the reference's buffer flags,
-            # d2q9-bgk.c:244-245).
-            row, by = self._h - 2, self._by
-            cells = accelerate_flow(
-                cells, obstacles, self.params.accel_w1, self.params.accel_w2
-            )
-            if row % by == 0:
-                firsts = firsts.at[row // by, :Q].set(cells[:, row, :])
-            if row % by == by - 1:
-                lasts = lasts.at[row // by, :Q].set(cells[:, row, :])
-            new, f2, l2, tot = self._single(cells, firsts, lasts, obs_i8, None)
-        return (new, f2, l2), tot[None]
+        return carry_step(self, carry, prepared)
 
     def final(self, carry):
         return self._transform_out(carry[0])

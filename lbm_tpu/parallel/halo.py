@@ -149,21 +149,9 @@ class _PallasShardImpl:
 
     def init(self, cells, prepared):
         obstacles, _, accel_mask = prepared
-        by = self.pf._pick_block_rows(cells.shape[1], cells.shape[2])
-        if self.fused > 1:
-            firsts, lasts = self.pf.gather_edge_rows_fused(
-                cells, obstacles, by, self.fused, accel_mask=accel_mask
-            )
-        else:
-            firsts, lasts = self.pf.gather_edge_rows(
-                cells, obstacles, by, accel_mask=accel_mask
-            )
-        if self.steps_per_call == 2 * self.fused:
-            return (
-                cells, jnp.zeros_like(cells),
-                firsts, lasts, jnp.zeros_like(firsts), jnp.zeros_like(lasts),
-            )
-        return (cells, firsts, lasts)
+        return self.pf.carry_init(
+            self, cells, obstacles, accel_mask=accel_mask
+        )
 
     def _halo_edges(self, firsts, lasts):
         """prevs/nexts for this shard: edge entries ppermuted over the
@@ -180,7 +168,7 @@ class _PallasShardImpl:
     def _accel_spec(self):
         return self.pf.AccelSpec.rows(self.params, self.params.ny)
 
-    def _call(self, cells, firsts, lasts, prepared, dst):
+    def _single_call(self, cells, firsts, lasts, prepared, dst):
         _, obs_i8, accel_mask = prepared
         prevs, nexts = self._halo_edges(firsts, lasts)
         return self.pf._pallas_step(
@@ -191,7 +179,7 @@ class _PallasShardImpl:
             accel_mask=accel_mask, dst=dst,
         )
 
-    def _call_fused(self, cells, firsts, lasts, prepared, dst):
+    def _fused_call(self, cells, firsts, lasts, prepared, dst):
         _, obs_i8, accel_mask = prepared
         prevs, nexts = self._halo_edges(firsts, lasts)
         # _pallas_step_fused in sharded (ring=False) mode takes the
@@ -206,36 +194,7 @@ class _PallasShardImpl:
         )
 
     def step(self, carry, prepared):
-        if self.fused > 1:
-            if self.steps_per_call == 2 * self.fused:
-                cells_a, cells_b, fa, la, fb, lb = carry
-                n1, f1, l1, tots1 = self._call_fused(
-                    cells_a, fa, la, prepared, (cells_b, fb, lb)
-                )
-                n2, f2, l2, tots2 = self._call_fused(
-                    n1, f1, l1, prepared, (cells_a, fa, la)
-                )
-                return (
-                    (n2, n1, f2, l2, f1, l1),
-                    jnp.concatenate([tots1, tots2]),
-                )
-            cells, firsts, lasts = carry
-            new, f2, l2, tots = self._call_fused(
-                cells, firsts, lasts, prepared, None
-            )
-            return (new, f2, l2), tots
-        if self.steps_per_call == 2:
-            cells_a, cells_b, fa, la, fb, lb = carry
-            new1, f1, l1, t1 = self._call(
-                cells_a, fa, la, prepared, (cells_b, fb, lb)
-            )
-            new2, f2, l2, t2 = self._call(
-                new1, f1, l1, prepared, (cells_a, fa, la)
-            )
-            return (new2, new1, f2, l2, f1, l1), jnp.stack([t1, t2])
-        cells, firsts, lasts = carry
-        new, f2, l2, tot = self._call(cells, firsts, lasts, prepared, None)
-        return (new, f2, l2), tot[None]
+        return self.pf.carry_step(self, carry, prepared)
 
     def final(self, carry):
         return carry[0]
