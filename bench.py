@@ -38,10 +38,28 @@ STRESS_GRIDS = [
 ]
 
 
+def _enable_compilation_cache() -> None:
+    """Persist compiled programs (LBM_COMPILATION_CACHE overrides the
+    location, empty string disables). Compiles are outside the timed
+    region, but the ~40-120 s remote compile per program is the main
+    exposure to tunnel flakiness on repeat benches — a warm cache skips
+    it entirely."""
+    import os
+
+    cache = os.environ.get("LBM_COMPILATION_CACHE", "/root/repo/.jax_cache")
+    if cache:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def bench(nx: int = 1024, ny: int = 1024, iters: int = 10000,
           kernel: str = "auto", repeats: int = 3):
     import jax
     import jax.numpy as jnp
+
+    _enable_compilation_cache()
 
     from lbm_tpu.obstacles import generate_obstacles, num_non_obstacles_r
     from lbm_tpu.params import Params
