@@ -17,7 +17,11 @@ python -c "import lbm_tpu; print('lbm_tpu', lbm_tpu.__version__)"
 echo "== smoke run (128x128, 100 iters, CPU) =="
 TMP=$(mktemp -d)
 trap 'rm -rf "$TMP"' EXIT
-JAX_PLATFORMS=cpu python -m lbm_tpu \
+# PYTHONPATH is cleared for a TRUE CPU run: a TPU tunnel's sitecustomize
+# on PYTHONPATH registers its backend programmatically and overrides
+# JAX_PLATFORMS (CLAUDE.md gotchas) — and a dead tunnel would hang the
+# smoke check.
+PYTHONPATH= JAX_PLATFORMS=cpu python -m lbm_tpu \
     /root/reference/input_128x128.params \
     /root/reference/obstacles_128x128.dat \
     --kernel reference --iters 100 \
@@ -32,7 +36,10 @@ sim = np.loadtxt(sys.argv[1], usecols=[1])
 ref = np.loadtxt("/root/reference/check/128x128.av_vels.dat", usecols=[1])[: len(sim)]
 pct = 100 * np.abs((ref - sim) / ref).max()
 print(f"golden prefix max diff: {pct:.2e}%")
-assert pct < 0.01, "trajectory prefix diverged from golden data"
+# The default f32 paired-equilibrium ordering drifts ~0.013% from the
+# f64 golden data at 100 steps (docs/PERF.md v6); the acceptance gate
+# is 1% (check/check.py). 0.1% catches real divergence with margin.
+assert pct < 0.1, "trajectory prefix diverged from golden data"
 EOF
 fi
 echo "check_install OK"
