@@ -56,16 +56,13 @@ def main(argv: list[str] | None = None) -> int:
     print("  %.12E vs. %.12E = %.2g%%" % (fs.sim_val, fs.ref_val, fs.max_diff_pcnt))
     print()
 
-    tol = args.tolerance[0]
-    import numpy as np
-
-    fs_failed = (not np.isfinite(fs.max_diff_pcnt)) or abs(fs.max_diff_pcnt) > tol
-    av_failed = (not np.isfinite(av.max_diff_pcnt)) or abs(av.max_diff_pcnt) > tol
-    if fs_failed:
+    # The pass/fail gate lives in one place: FileDiff.failed (io.py),
+    # already parameterised by the tolerance passed above.
+    if fs.failed:
         print("final state failed check")
-    if av_failed:
+    if av.failed:
         print("av_vels failed check")
-    if fs_failed or av_failed:
+    if fs.failed or av.failed:
         return 1
     print("Both tests passed!")
     return 0

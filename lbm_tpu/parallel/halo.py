@@ -241,6 +241,44 @@ def _resolve_kernel(kernel: str) -> str:
     return kernel
 
 
+def resolve_shard_kernel(params: Params, mesh: Mesh, kernel: str) -> str:
+    """Resolve ``auto`` and validate the sharded pallas configuration the
+    same way runner._resolve_kernel does for the single-device path:
+    float32-only, and on real TPU the PER-SHARD Mosaic geometry must
+    keep DMA tiles 8-aligned in rows. ``auto`` demotes to the reference
+    kernel on violation; an explicit pallas request fails with a clear
+    error instead of a Mosaic compile crash (which can take the TPU
+    session down for an hour — CLAUDE.md)."""
+    was_auto = kernel == "auto"
+    if was_auto:
+        kernel = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and params.dtype == np.float32
+            else "reference"
+        )
+    if kernel == "pallas" and params.dtype != np.float32:
+        raise ValueError(
+            "the pallas kernel is float32-only; use kernel='reference' "
+            "with float64"
+        )
+    if kernel == "pallas" and jax.default_backend() == "tpu":
+        from lbm_tpu.ops.pallas_fused import _pick_block_rows
+
+        transposed, decomp, _, _ = plan_sharding(params, mesh, "pallas")
+        _, local_h, width = _pallas_shard_geometry(params, decomp, transposed)
+        by = _pick_block_rows(local_h, width)
+        if local_h % 8 or by % 8:
+            if was_auto:
+                return "reference"
+            raise ValueError(
+                f"grid {params.ny}x{params.nx} over {decomp.n_shards} "
+                "shards: per-shard rows must stay 8-aligned for the "
+                "Mosaic kernel on real TPU; use kernel='reference'"
+            )
+    return kernel
+
+
 def plan_sharding(params: Params, mesh: Mesh, kernel: str):
     """Decide the decomposition axis and shard_map specs.
 
@@ -332,33 +370,6 @@ def _shard_segments(params: Params, decomp: RowDecomposition, kernel: str,
                          transposed=transposed), iters)]
 
 
-def _segment_loop(segs, cells, obstacles, inv_fluid, av_partial):
-    """Run the planned segments, writing per-step scaled tot_u values
-    into ``av_partial`` (index = step within this program).
-    Returns (final_cells, av_partial)."""
-    off = 0
-    for impl, n in segs:
-        spc = impl.steps_per_call
-        assert n % spc == 0
-        prepared = impl.prepare(obstacles)  # loop-invariant
-
-        def body(i, loop_carry, impl=impl, prepared=prepared, spc=spc,
-                 off=off):
-            carry, av = loop_carry
-            carry, tots = impl.step(carry, prepared)
-            av = lax.dynamic_update_slice(
-                av, tots * inv_fluid, (off + i * spc,)
-            )
-            return carry, av
-
-        carry, av_partial = lax.fori_loop(
-            0, n // spc, body, (impl.init(cells, prepared), av_partial)
-        )
-        cells = impl.final(carry)
-        off += n
-    return cells, av_partial
-
-
 def make_sharded_simulate(
     params: Params,
     mesh: Mesh,
@@ -379,14 +390,18 @@ def make_sharded_simulate(
 
     ensure_dtype_computable(params)
     iters = params.max_iters if n_iters is None else n_iters
-    kernel = _resolve_kernel(kernel)
+    kernel = resolve_shard_kernel(params, mesh, kernel)
     transposed, decomp, cells_spec, obs_spec = plan_sharding(params, mesh, kernel)
     segs = _shard_segments(params, decomp, kernel, iters, transposed)
+
+    # The stepping loop is runner._segment_loop — one implementation for
+    # the single-device and shard_map programs.
+    from lbm_tpu.runner import _segment_loop
 
     def local_sim(cells, obstacles, inv_fluid):
         av_partial = jnp.zeros((iters,), dtype=cells.dtype)
         cells, av_partial = _segment_loop(
-            segs, cells, obstacles, inv_fluid, av_partial
+            segs, cells, obstacles, inv_fluid, av_partial, 0
         )
         # One reduction for the whole trajectory, not one per step — the
         # reference's single end-of-run MPI_Reduce (d2q9-bgk.c:445).
@@ -418,14 +433,16 @@ def make_sharded_chunk(
     from lbm_tpu.params import ensure_dtype_computable
 
     ensure_dtype_computable(params)
-    kernel = _resolve_kernel(kernel)
+    kernel = resolve_shard_kernel(params, mesh, kernel)
     transposed, decomp, cells_spec, obs_spec = plan_sharding(params, mesh, kernel)
     segs = _shard_segments(params, decomp, kernel, chunk_iters, transposed)
+
+    from lbm_tpu.runner import _segment_loop
 
     def local_chunk(cells, obstacles, inv_fluid, av, t0):
         av_partial = jnp.zeros((chunk_iters,), dtype=cells.dtype)
         cells, av_partial = _segment_loop(
-            segs, cells, obstacles, inv_fluid, av_partial
+            segs, cells, obstacles, inv_fluid, av_partial, 0
         )
         av = lax.dynamic_update_slice(av, lax.psum(av_partial, AXIS), (t0,))
         return cells, av
@@ -446,6 +463,7 @@ def shard_inputs(mesh: Mesh, cells: jnp.ndarray, obstacles: jnp.ndarray,
     simulate expects (x-decomposed for wide pallas grids when ``params``
     is given, the reference's row decomposition otherwise)."""
     if params is not None:
+        kernel = resolve_shard_kernel(params, mesh, kernel)
         _, _, cells_spec, obs_spec = plan_sharding(params, mesh, kernel)
     else:
         cells_spec, obs_spec = P(None, AXIS, None), P(AXIS, None)

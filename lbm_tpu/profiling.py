@@ -94,10 +94,12 @@ def roofline_report(
     """Throughput vs the chip's bandwidth/compute roofs.
 
     ``steps_per_pass``: temporal fusion depth of the measured kernel
-    (pallas_fused._kernel2 advances 2 steps per HBM pass, so its
-    physical traffic per step is BYTES_PER_CELL / 2 and the bandwidth
-    ceiling doubles — pass 2 for fused measurements or the report shows
-    >100% HBM utilisation).
+    (pallas_fused._kernel_fused advances ``depth`` steps per HBM pass,
+    so physical traffic per step is BYTES_PER_CELL / depth and the
+    bandwidth ceiling scales up by depth). Pass the depth the run used:
+    the size-aware default is 2 for chip-resident states (<= ~50 MB per
+    lattice buffer) and 4 for larger ones (pallas_fused._depth_preference);
+    a wrong value over/under-reports HBM utilisation proportionally.
     """
     cells = nx * ny * iters
     glups = cells / seconds / 1e9

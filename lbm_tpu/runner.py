@@ -142,36 +142,38 @@ def _select_step(kernel: str, params: Params):
     return step
 
 
-def _loop_core(impl, n_steps):
-    """Shared stepping loop: ``(cells, obstacles, inv, av, t0) ->
-    (final_cells, av)`` running ``n_steps`` steps that write
-    av_vels[t0:t0+n_steps]. Per-step scaling by 1/num_fluid_cells is
+def _segment_loop(segs, cells, obstacles, inv_fluid, av_vels, t0):
+    """Shared stepping loop over planned segments ``[(impl, n), ...]``
+    (used verbatim inside halo's shard_map programs too): each segment
+    runs ``n`` steps of its impl in one ``fori_loop``, writing
+    av_vels[t0+off : t0+off+n]. Per-step scaling by 1/num_fluid_cells is
     algebraically the reference's end-of-run scaling of the reduced sums
-    (d2q9-bgk.c:445-446)."""
-    spc = impl.steps_per_call
-    assert n_steps % spc == 0
-
-    def core(cells, obstacles, inv_fluid, av_vels, t0):
+    (d2q9-bgk.c:445-446). ``t0`` may be a python int or traced scalar."""
+    off = 0
+    for impl, n in segs:
+        spc = impl.steps_per_call
+        assert n % spc == 0
         prepared = impl.prepare(obstacles)  # loop-invariant
 
-        def body(i, loop_carry):
-            carry, av_vels = loop_carry
+        def body(i, loop_carry, impl=impl, prepared=prepared, spc=spc,
+                 off=off):
+            carry, av = loop_carry
             carry, tots = impl.step(carry, prepared)
-            av_vels = lax.dynamic_update_slice(
-                av_vels, tots * inv_fluid, (t0 + i * spc,)
+            av = lax.dynamic_update_slice(
+                av, tots * inv_fluid, (t0 + off + i * spc,)
             )
-            return carry, av_vels
+            return carry, av
 
         carry, av_vels = lax.fori_loop(
-            0, n_steps // spc, body, (impl.init(cells, prepared), av_vels)
+            0, n // spc, body, (impl.init(cells, prepared), av_vels)
         )
-        return impl.final(carry), av_vels
-
-    return core
+        cells = impl.final(carry)
+        off += n
+    return cells, av_vels
 
 
 def _segments(kernel: str, params: Params, iters: int):
-    """Plan the run as ``[(loop_core, n_steps), ...]``. One segment when
+    """Plan the run as ``[(impl, n_steps), ...]``. One segment when
     the kernel's preferred step granularity divides ``iters``; otherwise
     a main segment at the preferred fusion depth (paired) plus a tail
     shorter than one paired pass (still fused when a depth divides it,
@@ -190,12 +192,9 @@ def _segments(kernel: str, params: Params, iters: int):
                     kernel, params, paired=tail % 2 == 0, n_iters=tail
                 ),
             ]
-            return [
-                (_loop_core(impl, n), n)
-                for impl, n in zip(parts, (main, tail))
-            ]
+            return list(zip(parts, (main, tail)))
     impl = _select_impl(kernel, params, paired=iters % 2 == 0, n_iters=iters)
-    return [(_loop_core(impl, iters), iters)]
+    return [(impl, iters)]
 
 
 def make_simulate(params: Params, kernel: str = "auto", n_iters: int | None = None):
@@ -203,17 +202,13 @@ def make_simulate(params: Params, kernel: str = "auto", n_iters: int | None = No
     ``(cells0, obstacles, inv_fluid) -> (final_cells, av_vels)``.
     """
     iters = params.max_iters if n_iters is None else n_iters
-    cores = _segments(kernel, params, iters)
+    segs = _segments(kernel, params, iters)
     av_dtype = params.dtype
 
     @partial(jax.jit, donate_argnums=(0,))
     def simulate(cells, obstacles, inv_fluid):
         av_vels = jnp.zeros((iters,), dtype=av_dtype)
-        t0 = 0
-        for core, n in cores:
-            cells, av_vels = core(cells, obstacles, inv_fluid, av_vels, t0)
-            t0 += n
-        return cells, av_vels
+        return _segment_loop(segs, cells, obstacles, inv_fluid, av_vels, 0)
 
     return simulate
 
@@ -221,13 +216,10 @@ def make_simulate(params: Params, kernel: str = "auto", n_iters: int | None = No
 def make_chunk(params: Params, kernel: str, chunk_iters: int):
     """Jitted chunk runner ``(cells, obstacles, inv, av, t0) -> (cells, av)``
     executing ``chunk_iters`` steps that write av_vels[t0:t0+chunk_iters]."""
-    cores = _segments(kernel, params, chunk_iters)
+    segs = _segments(kernel, params, chunk_iters)
 
     def chunk(cells, obstacles, inv_fluid, av_vels, t0):
-        for core, n in cores:
-            cells, av_vels = core(cells, obstacles, inv_fluid, av_vels, t0)
-            t0 = t0 + n
-        return cells, av_vels
+        return _segment_loop(segs, cells, obstacles, inv_fluid, av_vels, t0)
 
     return jax.jit(chunk, donate_argnums=(0, 3))
 
@@ -278,6 +270,11 @@ def run_simulation(
     ``debug``: print the reference's -DDEBUG per-step block (slow path).
     """
     t0 = time.perf_counter()
+    if checkpoint_every is not None and checkpoint_every <= 0:
+        raise ValueError(
+            f"checkpoint_every must be a positive step count, "
+            f"got {checkpoint_every}"
+        )
     iters = params.max_iters if n_iters is None else n_iters
     obstacles = np.asarray(obstacles, dtype=bool)
     inv_fluid = num_non_obstacles_r(obstacles, dtype=params.dtype)
@@ -299,6 +296,8 @@ def run_simulation(
         return _run_debug(
             params, cells0, obs_dev, inv_fluid, kernel, iters, t0,
             obstacles, start_step, av0,
+            checkpoint_every=checkpoint_every,
+            checkpoint_file=checkpoint_file,
         )
 
     if mesh is not None and not (checkpoint_every or start_step):
@@ -345,6 +344,7 @@ def run_simulation(
             for n in sizes
         }
         cells = cells0
+        jax.block_until_ready((cells0, obs_dev))
         t1 = time.perf_counter()
         tt = start_step
         while tt < iters:
@@ -368,11 +368,12 @@ def run_simulation(
         t2 = time.perf_counter()
 
     # Collate: device -> host gather of the final lattice + trajectory.
+    # Reynolds is computed on the DEVICE-RESIDENT state: re-uploading the
+    # lattice would cost ~17 s at 16384x1024 over the ~35 MB/s tunnel
+    # (docs/PERF.md measurement rules).
     cells_np = np.asarray(jax.device_get(cells), dtype=params.dtype)
     av_np = np.asarray(jax.device_get(av_vels), dtype=params.dtype)
-    reynolds = float(
-        calc_reynolds(params, jnp.asarray(cells_np), jnp.asarray(obstacles))
-    )
+    reynolds = float(calc_reynolds(params, cells, obs_dev))
     t3 = time.perf_counter()
 
     return SimulationResult(
@@ -389,10 +390,12 @@ def run_simulation(
 
 
 def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, t0,
-               obstacles, start_step=0, av0=None):
+               obstacles, start_step=0, av0=None,
+               checkpoint_every=None, checkpoint_file=None):
     """Python-loop path printing the reference's -DDEBUG block per step
     (d2q9-bgk.c:198-202); resumes mid-trajectory when given a start step
-    and av prefix."""
+    and av prefix, and honours periodic checkpointing like the jitted
+    path."""
     step = jax.jit(_select_step(kernel, params))
     cells = cells0
     av = np.zeros((iters,), dtype=params.dtype) if av0 is None else av0
@@ -403,11 +406,13 @@ def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, t0,
         print("==timestep: %d==" % tt)
         print("av velocity: %.12E" % av[tt])
         print("tot density: %.12E" % float(total_density(cells)))
+        done = tt + 1
+        if (checkpoint_every and checkpoint_file is not None
+                and (done % checkpoint_every == 0 or done == iters)):
+            save_checkpoint(checkpoint_file, done, cells, av)
     t2 = time.perf_counter()
     cells_np = np.asarray(cells, dtype=params.dtype)
-    reynolds = float(
-        calc_reynolds(params, jnp.asarray(cells_np), jnp.asarray(obstacles))
-    )
+    reynolds = float(calc_reynolds(params, cells, obs_dev))
     t3 = time.perf_counter()
     return SimulationResult(
         cells=cells_np,

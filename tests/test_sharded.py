@@ -265,6 +265,31 @@ def test_sharded_segments_odd_iters(ny, nx, iters):
     assert (np.asarray(got.av_vels) != 0).all()
 
 
+def test_sharded_kernel_validation(monkeypatch):
+    """The sharded builders validate like the single-device path
+    (review finding r2-2): on real TPU, per-shard rows that are not
+    8-aligned demote auto to the reference kernel and reject explicit
+    pallas with a clear error (a Mosaic crash can kill the TPU session);
+    float64 never resolves to the f32-only pallas kernel."""
+    from lbm_tpu.parallel import halo
+
+    mesh = make_mesh(4)
+    odd = small_params(ny=100, nx=32)  # local rows 25 over 4 shards
+    # CPU/interpret: no geometry constraint.
+    assert halo.resolve_shard_kernel(odd, mesh, "pallas") == "pallas"
+
+    monkeypatch.setattr(halo.jax, "default_backend", lambda: "tpu")
+    assert halo.resolve_shard_kernel(odd, mesh, "auto") == "reference"
+    with pytest.raises(ValueError, match="8-aligned"):
+        halo.resolve_shard_kernel(odd, mesh, "pallas")
+    ok = small_params(ny=64, nx=32)  # local rows 16
+    assert halo.resolve_shard_kernel(ok, mesh, "auto") == "pallas"
+    p64 = small_params(ny=64, dtype=np.float64)
+    assert halo.resolve_shard_kernel(p64, mesh, "auto") == "reference"
+    with pytest.raises(ValueError, match="float32-only"):
+        halo.resolve_shard_kernel(p64, mesh, "pallas")
+
+
 def test_sharded_f64_without_x64_raises():
     """The x64 guard must cover the sharded builders too, not just the
     single-device runner (review finding r2)."""
