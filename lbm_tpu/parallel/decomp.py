@@ -20,6 +20,22 @@ from jax.sharding import Mesh
 AXIS = "y"  # the single mesh axis name, rows of the lattice
 
 
+def virtual_cpu_env(env: dict, n_devices: int) -> dict:
+    """Return ``env`` updated with the variables that force an n-device
+    virtual CPU platform (shared by in-process provisioning below and
+    subprocess launchers like __graft_entry__.dryrun_multichip)."""
+    env = dict(env)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append(f"--xla_force_host_platform_device_count={n_devices}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    return env
+
+
 def provision_virtual_cpu(n_devices: int) -> None:
     """Force an n-device virtual CPU platform — the TPU-native answer to
     testing the decomposition without a cluster (SURVEY.md §4).
@@ -31,14 +47,7 @@ def provision_virtual_cpu(n_devices: int) -> None:
     """
     import os
 
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = [
-        f
-        for f in os.environ.get("XLA_FLAGS", "").split()
-        if "xla_force_host_platform_device_count" not in f
-    ]
-    flags.append(f"--xla_force_host_platform_device_count={n_devices}")
-    os.environ["XLA_FLAGS"] = " ".join(flags)
+    os.environ.update(virtual_cpu_env(os.environ, n_devices))
     jax.config.update("jax_platforms", "cpu")
 
 

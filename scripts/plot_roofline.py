@@ -22,6 +22,22 @@ from lbm_tpu.profiling import (  # noqa: E402
 )
 
 
+def _row_depth(r) -> int:
+    """Temporal-fusion depth the default kernel config selects for a
+    sweep row (reference kernel: 1). Mirrors the sweep's own defaults:
+    size-aware pallas_fused._depth_preference bounded by the row's
+    iteration count."""
+    if r.get("kernel") != "pallas":
+        return 1
+    from lbm_tpu.ops.pallas_fused import make_carry_step
+    from lbm_tpu.params import Params
+
+    nx, ny = (int(v) for v in r["grid"].split("x"))
+    params = Params(nx=nx, ny=ny, max_iters=r["iters"], reynolds_dim=10,
+                    density=0.1, accel=0.01, omega=1.85)
+    return make_carry_step(params, ny, nx, n_iters=r["iters"]).fused
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("sweep", nargs="?", default="sweep_results.json")
@@ -30,13 +46,22 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     with open(args.sweep) as f:
-        results = [r for r in json.load(f) if "error" not in r]
+        rows = json.load(f)
+    # Only single-device rows belong on a single-chip roofline: the
+    # devices>1 sweep rows are functional virtual-CPU-mesh runs, not
+    # hardware measurements (see their "note" field).
+    results = [
+        r for r in rows
+        if "error" not in r and r.get("devices", 1) == 1
+        and r.get("kernel") == "pallas"
+    ]
+    skipped = len(rows) - len(results)
     if not results:
         print("no successful sweep results to plot", file=sys.stderr)
         return 1
 
     peaks = CHIP_PEAKS[args.chip]
-    ai = FLOPS_PER_CELL / BYTES_PER_CELL_F32_MASK  # flops per byte
+    ai_unfused = FLOPS_PER_CELL / BYTES_PER_CELL_F32_MASK  # flops per byte
 
     import matplotlib
 
@@ -51,17 +76,26 @@ def main(argv=None):
     comp_roof = np.full_like(xs, peaks["tflops_peak"] * 1e3)
     ax.plot(xs, np.minimum(mem_roof, comp_roof), "k-", lw=2,
             label=f"{args.chip} roofline")
-    ax.axvline(ai, color="grey", ls=":", lw=1)
-    ax.text(ai * 1.1, 10, f"fused step AI = {ai:.2f} F/B", rotation=90,
-            va="bottom", fontsize=8, color="grey")
+    ax.axvline(ai_unfused, color="grey", ls=":", lw=1)
+    ax.text(ai_unfused * 1.1, 10, f"unfused AI = {ai_unfused:.2f} F/B",
+            rotation=90, va="bottom", fontsize=8, color="grey")
 
-    for r in results:
+    # Each point's EFFECTIVE arithmetic intensity accounts for the
+    # temporal-fusion depth the default kernel config selects for that
+    # grid (depth D moves 1/D of the per-step bytes), matching
+    # profiling.roofline_report's steps_per_pass — without this, fused
+    # points plot impossibly above the memory roof.
+    for idx, r in enumerate(results):
+        depth = _row_depth(r)
+        ai = FLOPS_PER_CELL / (BYTES_PER_CELL_F32_MASK / depth)
         gflops = r["glups"] * FLOPS_PER_CELL  # GFLOP/s
         ax.plot([ai], [gflops], "o", ms=7)
+        label = f"{r['grid']} ({r['glups']:.1f} GLUPS"
+        label += f", D{depth})" if depth > 1 else ")"
+        # Stagger label rows: clustered points otherwise overprint.
         ax.annotate(
-            f"{r['grid']} ({r['glups']:.1f} GLUPS)",
-            (ai, gflops), textcoords="offset points", xytext=(8, -4),
-            fontsize=8,
+            label, (ai, gflops), textcoords="offset points",
+            xytext=(8, -4 - 9 * (idx % 4)), fontsize=8,
         )
 
     ax.set_xscale("log")
@@ -72,7 +106,8 @@ def main(argv=None):
     ax.legend(loc="upper left", fontsize=8)
     ax.grid(True, which="both", alpha=0.25)
     fig.savefig(args.output, dpi=150, bbox_inches="tight")
-    print(f"wrote {args.output} ({len(results)} points)")
+    print(f"wrote {args.output} ({len(results)} points, "
+          f"{skipped} non-pallas/multi-device/error rows skipped)")
     return 0
 
 

@@ -97,9 +97,18 @@ def main(argv=None):
         # Transposed x-sharded plan: lane-accel kernel + SIGMA transpose.
         ("pallas/transposed-x", 4096, 512),
     ]
-    results["cases"] = [
-        check_case(name, nx, ny, args.iters) for name, nx, ny in cases
-    ]
+    # Per-case error capture so one failed Mosaic compile still yields a
+    # written artifact with the other cases' results (a hung device call
+    # is not an Exception — bound the whole script with `timeout` when
+    # the tunnel is flaky, CLAUDE.md).
+    results["cases"] = []
+    for name, nx, ny in cases:
+        try:
+            results["cases"].append(check_case(name, nx, ny, args.iters))
+        except Exception as exc:  # noqa: BLE001 — recorded, not hidden
+            results["cases"].append(
+                {"case": name, "ok": False, "error": repr(exc)[:500]}
+            )
     results["ok"] = all(c["ok"] for c in results["cases"])
     out = Path(args.output)
     out.parent.mkdir(parents=True, exist_ok=True)

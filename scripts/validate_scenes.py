@@ -27,6 +27,7 @@ from pathlib import Path
 import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 REFERENCE = Path("/root/reference")
 CHECK = REFERENCE / "check"
 
@@ -35,11 +36,12 @@ TOLERANCE = 1.0  # check.py's default max %diff gate
 
 
 def max_pct_diff(ref: np.ndarray, sim: np.ndarray) -> float:
-    """check.py's get_diff_values formula (check/check.py:83-99)."""
-    diff = ref - sim
-    with np.errstate(divide="ignore", invalid="ignore"):
-        pct = 100.0 * (diff / (ref - diff))
-    return float(np.max(np.abs(pct)))
+    """check.py's max %diff, via the library's single implementation of
+    the formula (io._diff — also used by lbm_tpu.check and the golden
+    pytest gates; one place owns the acceptance semantics)."""
+    from lbm_tpu.io import _diff
+
+    return abs(float(_diff(ref, sim, tolerance=TOLERANCE).max_diff_pcnt))
 
 
 def run_scene(scene: str, kernel: str, workdir: Path) -> dict:
