@@ -33,6 +33,9 @@ GRID_SCENES = {
     "4096x1024": (4096, 1024, 20000, 0.01),
     "8192x1024": (8192, 1024, 20000, 0.01),
     "16384x1024": (16384, 1024, 20000, 0.01),
+    # The reference's hybrid-report stress grid (report_mpi/report.tex:859);
+    # no shipped .params file, parameters follow the >=1024-wide scenes.
+    "131072x128": (131072, 128, 20000, 0.01),
 }
 
 
