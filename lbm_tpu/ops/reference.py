@@ -44,6 +44,18 @@ def _paired_eq_enabled() -> bool:
     unaffected by the setting."""
     return os.environ.get("LBM_PAIRED_EQ", "1") not in ("0", "", "false")
 
+
+def _omega_eq_enabled() -> bool:
+    """Omega-absorbed relaxation: fold omega into the equilibrium weights
+    at trace time (feqw = omega*feq term by term via scaled w constants)
+    so the BGK relax becomes one fma ``new = s*(1-omega) + feqw`` instead
+    of ``s + omega*(feq - s)`` — 9 fewer VPU ops per cell. Algebraically
+    identical to d2q9-bgk.c:325-333; a further f32 reassociation on top
+    of the paired form (drift budget measured per scene by
+    scripts/validate_scenes.py, docs/PERF.md v7). Applies only to the
+    paired f32 form; LBM_OMEGA_EQ=0 opts out."""
+    return os.environ.get("LBM_OMEGA_EQ", "1") not in ("0", "", "false")
+
 def _accel_delta(w1, w2) -> jnp.ndarray:
     """Per-speed forcing deltas: +w1/-w1 on axis speeds 1/3, +w2 on
     diagonals 5,8 and -w2 on 6,7 (d2q9-bgk.c:254-261)."""
@@ -105,14 +117,16 @@ def accelerate_flow_dynamic(
     return lax.dynamic_update_slice(cells, new_row[:, None, :], (0, idx, 0))
 
 
-def _bgk_update(
+def _bgk_update_planes(
     s: list[jnp.ndarray] | jnp.ndarray,
     obstacles: jnp.ndarray,
     omega: np.float32,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """BGK relaxation + bounce-back + tot_u on post-streaming
-    distributions ``s`` (9 planes), matching d2q9-bgk.c:315-335 term by
-    term in f32.
+) -> tuple[list, jnp.ndarray]:
+    """BGK relaxation + bounce-back on post-streaming distributions ``s``
+    (9 planes), matching d2q9-bgk.c:315-335 term by term in f32. Returns
+    ``(new_planes, |u|)`` — the plane list plus the velocity magnitude so
+    callers can reduce tot_u over whichever row subset they own (the
+    fused kernel's boundary-recompute rows are excluded there).
     """
     # All expansion constants in the working dtype: float32 matches the
     # reference artifact; float64 matches the golden data's original code.
@@ -129,7 +143,9 @@ def _bgk_update(
     u_y = (s[2] + s[5] + s[6] - (s[4] + s[7] + s[8])) / rho
     u_sq = u_x * u_x + u_y * u_y
 
-    if _paired_eq_enabled() and s[0].dtype == jnp.float32:
+    paired = _paired_eq_enabled() and s[0].dtype == jnp.float32
+    omega_abs = paired and _omega_eq_enabled()
+    if paired:
         # Paired form: for opposite speeds (k, k̄) the equilibrium splits
         # into even/odd parts, feq_k = E + O and feq_k̄ = E - O with
         # E = w*rho*(1 + 4.5*uc² - 1.5*u²) and O = w*rho*3*uc — the
@@ -137,9 +153,14 @@ def _bgk_update(
         # twice. Algebraically identical to d2q9-bgk.c:325-333, with a
         # different f32 association (drift stays far inside the 1%
         # golden tolerance; see docs/PERF.md).
+        #
+        # Omega absorption scales the weight CONSTANTS by omega at trace
+        # time so feq comes out pre-multiplied and the relax below is a
+        # single fma per speed.
+        scale = np.float32(omega) if omega_abs else d(1)
         base = one - u_sq * two_c_sq_r
-        wrho_a = w_axis * rho
-        wrho_d = w_diag * rho
+        wrho_a = (w_axis * scale) * rho
+        wrho_d = (w_diag * scale) * rho
         odd_a = c_sq_r * wrho_a
         odd_d = c_sq_r * wrho_d
 
@@ -149,7 +170,7 @@ def _bgk_update(
             return even + odd, even - odd
 
         feq = [None] * D2Q9.Q
-        feq[0] = weights[0] * rho * base
+        feq[0] = (weights[0] * scale) * rho * base
         feq[1], feq[3] = pair(wrho_a, odd_a, u_x)
         feq[2], feq[4] = pair(wrho_a, odd_a, u_y)
         feq[5], feq[7] = pair(wrho_d, odd_d, u_x + u_y)
@@ -185,14 +206,30 @@ def _bgk_update(
                 )
             )
 
+    one_m_omega = np.float32(1.0) - np.float32(omega)
     new_planes = []
     for k in range(D2Q9.Q):
-        relaxed = s[k] + omega * (feq[k] - s[k])
+        if omega_abs:
+            relaxed = s[k] * one_m_omega + feq[k]
+        else:
+            relaxed = s[k] + omega * (feq[k] - s[k])
         bounced = s[int(D2Q9.OPP[k])]
         new_planes.append(jnp.where(obstacles, bounced, relaxed))
 
+    return new_planes, jnp.sqrt(u_sq)
+
+
+def _bgk_update(
+    s: list[jnp.ndarray] | jnp.ndarray,
+    obstacles: jnp.ndarray,
+    omega: np.float32,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`_bgk_update_planes` plus the tot_u reduction over every
+    (fluid) cell of the planes — the d2q9-bgk.c:335 accumulation."""
+    new_planes, umag = _bgk_update_planes(s, obstacles, omega)
+    d = np.dtype(new_planes[0].dtype).type
     tot_u = jnp.sum(
-        jnp.where(obstacles, d(0), jnp.sqrt(u_sq)), dtype=s[0].dtype
+        jnp.where(obstacles, d(0), umag), dtype=new_planes[0].dtype
     )
     return jnp.stack(new_planes), tot_u
 

@@ -1,0 +1,79 @@
+"""A/B harness for kernel variants on the real chip.
+
+Runs bench.bench() in a timeout-guarded subprocess per (grid, env)
+configuration — the measurement rules (untimed first execution, host
+fence, best-of-N) live in bench.py; this script only varies the
+trace-time env knobs (LBM_PALLAS_EXT / LBM_OMEGA_EQ / LBM_PALLAS_DEPTH /
+LBM_PAIRED_EQ) and prints one JSON line per cell. The reference's
+analogue is its per-version benchmark tables (report_openmp/report.tex).
+
+Usage: python scripts/ab_kernel.py [config ...]
+  config = name:nx:ny:iters:ENV=V,ENV=V  (defaults below when absent)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULTS = [
+    ("1024sq-v6", 1024, 1024, 2000, {"LBM_PALLAS_EXT": "0", "LBM_OMEGA_EQ": "0"}),
+    ("1024sq-v7", 1024, 1024, 2000, {"LBM_PALLAS_EXT": "1", "LBM_OMEGA_EQ": "0"}),
+    ("1024sq-v7w", 1024, 1024, 2000, {"LBM_PALLAS_EXT": "1", "LBM_OMEGA_EQ": "1"}),
+    ("16k-v6", 16384, 1024, 2000, {"LBM_PALLAS_EXT": "0", "LBM_OMEGA_EQ": "0"}),
+    ("16k-v7", 16384, 1024, 2000, {"LBM_PALLAS_EXT": "1", "LBM_OMEGA_EQ": "0"}),
+    ("16k-v7w", 16384, 1024, 2000, {"LBM_PALLAS_EXT": "1", "LBM_OMEGA_EQ": "1"}),
+    ("131k-v6", 131072, 128, 2000, {"LBM_PALLAS_EXT": "0", "LBM_OMEGA_EQ": "0"}),
+    ("131k-v7", 131072, 128, 2000, {"LBM_PALLAS_EXT": "1", "LBM_OMEGA_EQ": "0"}),
+    ("131k-v7w", 131072, 128, 2000, {"LBM_PALLAS_EXT": "1", "LBM_OMEGA_EQ": "1"}),
+]
+
+
+def parse(arg: str):
+    name, nx, ny, iters, envs = (arg.split(":") + [""])[:5]
+    env = dict(kv.split("=", 1) for kv in envs.split(",") if kv)
+    return name, int(nx), int(ny), int(iters), env
+
+
+def run_one(name, nx, ny, iters, env, repeats=3, timeout_s=1500.0):
+    code = (
+        "import json, sys; sys.path.insert(0, sys.argv[1]);"
+        "from bench import bench;"
+        f"g, t = bench(nx={nx}, ny={ny}, iters={iters},"
+        f" kernel='auto', repeats={repeats});"
+        "print('RESULT ' + json.dumps({'glups': g, 'best_s': t}))"
+    )
+    full_env = dict(os.environ)
+    full_env.update(env)
+    t0 = time.time()
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code, HERE], capture_output=True,
+            text=True, timeout=timeout_s, cwd=HERE, env=full_env,
+        )
+    except subprocess.TimeoutExpired:
+        return {"name": name, "error": f"timeout {timeout_s:.0f}s"}
+    for line in res.stdout.splitlines():
+        if line.startswith("RESULT "):
+            d = json.loads(line[len("RESULT "):])
+            return {"name": name, "nx": nx, "ny": ny, "iters": iters,
+                    "env": env, "glups": round(d["glups"], 3),
+                    "wall_s": round(time.time() - t0, 1)}
+    return {"name": name,
+            "error": (res.stderr.strip().splitlines() or ["no output"])[-1][:400]}
+
+
+def main():
+    cases = [parse(a) for a in sys.argv[1:]] or DEFAULTS
+    for case in cases:
+        out = run_one(*case)
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
