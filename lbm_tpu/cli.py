@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
              "float64 reproduces the golden data's original code (CPU)",
     )
     p.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the compute phase into DIR "
+             "(the gprof/Advisor analogue; summarise with "
+             "scripts/trace_report.py)",
+    )
+    p.add_argument(
         "--compilation-cache", default=None, metavar="DIR",
         help="persistent XLA compilation cache directory (also via "
              "LBM_COMPILATION_CACHE); repeat runs of a scene skip the "
@@ -113,17 +119,30 @@ def _main(argv: list[str] | None = None) -> int:
 
         import jax
 
-        usable = largest_divisor_leq(
-            params.ny, min(args.devices, len(jax.devices()))
-        )
+        usable = min(args.devices, len(jax.devices()))
         if usable != args.devices:
             print(
-                f"note: using {usable} devices (ny={params.ny} must divide "
-                f"evenly; {len(jax.devices())} devices visible)",
+                f"note: using {usable} devices "
+                f"({len(jax.devices())} visible)",
                 file=sys.stderr,
             )
         if usable > 1:
             mesh = make_mesh(usable)
+            # Non-divisor counts run via wall-shielded obstacle-row
+            # padding (halo.plan_row_padding); only when the mask lacks
+            # boundary walls does the count demote to a divisor.
+            from lbm_tpu.parallel.halo import plan_row_padding
+
+            try:
+                plan_row_padding(params, obstacles, mesh, args.kernel)
+            except ValueError:
+                fallback = largest_divisor_leq(params.ny, usable)
+                print(
+                    f"note: using {fallback} devices (ny={params.ny} has "
+                    "no boundary walls to pad behind; divisor fallback)",
+                    file=sys.stderr,
+                )
+                mesh = make_mesh(fallback) if fallback > 1 else None
 
     result = run_simulation(
         params,
@@ -135,6 +154,7 @@ def _main(argv: list[str] | None = None) -> int:
         checkpoint_every=args.checkpoint_every,
         checkpoint_file=args.checkpoint_file,
         resume_from=args.resume,
+        trace_dir=args.trace,
     )
 
     t = result.timings

@@ -339,6 +339,68 @@ def resolve_shard_kernel(params: Params, mesh: Mesh, kernel: str) -> str:
     return kernel
 
 
+def plan_row_padding(params: Params, obstacles, mesh: Mesh,
+                     kernel: str) -> int:
+    """Rows of all-obstacle padding that make the row plan divide the
+    mesh evenly — the equal-shard answer to the reference's uneven
+    ``allocate_rows`` (first ny%size ranks take one extra row,
+    d2q9-bgk.c:483-492): ny=1024 on 6 devices pads to 1056 and uses all
+    six instead of demoting to 4.
+
+    Padding is EXACT, not approximate, when both y boundaries are full
+    bounce-back wall rows (true of every shipped scene): a wall row's
+    distributions that its fluid neighbour reads depend only on that
+    neighbour, never on what lies beyond the wall, so rows behind the
+    wall are causally disconnected from the interior; pad cells are
+    obstacles, so av_vels and the fluid count are untouched, and the
+    runner slices the pad back off before reporting. The pad goes BELOW
+    row 0 so the forced row keeps its index relative to the top
+    (ny-2, d2q9-bgk.c:240). Raises when padding would be needed but a
+    boundary row has fluid cells (padding would change the physics).
+
+    Returns 0 when the existing plans (row divisor or the wide-grid
+    transposed-x plan) already fit."""
+    n = mesh.shape[AXIS]
+    ny, nx = params.ny, params.nx
+    k = _resolve_kernel(kernel)
+    on_tpu = jax.default_backend() == "tpu"
+    if k == "pallas" and params.dtype != np.float32:
+        k = "reference"
+    # The wide-grid transposed plan shards x; no row padding involved.
+    if (k == "pallas" and nx >= 2 * ny and nx % n == 0 and nx % 8 == 0
+            and (not on_tpu or (nx // n) % 8 == 0)):
+        return 0
+    # Real-TPU Mosaic needs 8-aligned per-shard rows (resolve_shard_kernel);
+    # padding to that unit keeps the pallas kernel instead of demoting.
+    align = 8 if (k == "pallas" and on_tpu) else 1
+    unit = n * align
+    ny_pad = -(-ny // unit) * unit
+    if ny_pad == ny:
+        return 0
+    obs = np.asarray(obstacles, dtype=bool)
+    if not (obs[0, :].all() and obs[-1, :].all()):
+        raise ValueError(
+            f"ny={ny} does not divide over {n} devices and the obstacle "
+            "mask has no full wall rows at both y boundaries, so "
+            "obstacle-row padding would change the physics; use a "
+            "divisor device count"
+        )
+    return ny_pad - ny
+
+
+def pad_scene(params: Params, obstacles, pad: int):
+    """Apply :func:`plan_row_padding`'s result: ``pad`` all-obstacle rows
+    below row 0 (indices shift up by ``pad``; the forced row stays at
+    the new ny-2)."""
+    import dataclasses
+
+    obs = np.pad(
+        np.asarray(obstacles, dtype=bool), ((pad, 0), (0, 0)),
+        constant_values=True,
+    )
+    return dataclasses.replace(params, ny=params.ny + pad), obs
+
+
 def plan_sharding(params: Params, mesh: Mesh, kernel: str):
     """Decide the decomposition axis and shard_map specs.
 

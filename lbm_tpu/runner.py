@@ -17,7 +17,6 @@ Extras beyond the reference:
 from __future__ import annotations
 
 import dataclasses
-import time
 from functools import partial
 from pathlib import Path
 
@@ -257,6 +256,7 @@ def run_simulation(
     checkpoint_every: int | None = None,
     checkpoint_file: str | Path | None = None,
     resume_from: str | Path | None = None,
+    trace_dir: str | Path | None = None,
 ) -> SimulationResult:
     """Run the full simulation and return final state + trajectory.
 
@@ -268,8 +268,24 @@ def run_simulation(
     ``checkpoint_every``/``checkpoint_file``: periodically persist state;
     ``resume_from``: continue a previous run's checkpoint.
     ``debug``: print the reference's -DDEBUG per-step block (slow path).
+    ``trace_dir``: capture a jax.profiler trace of the compute phase
+    (the gprof/Advisor analogue — profiling.trace; view with xprof or
+    summarise with scripts/trace_report.py).
     """
-    t0 = time.perf_counter()
+    import contextlib
+
+    from lbm_tpu.profiling import trace as _trace
+
+    trace_ctx = (
+        (lambda: _trace(str(trace_dir)))
+        if trace_dir is not None
+        else contextlib.nullcontext
+    )
+    from lbm_tpu.profiling import PhaseTimers
+
+    timers = PhaseTimers()
+    timers.start("total")
+    timers.start("init")
     if checkpoint_every is not None and checkpoint_every <= 0:
         raise ValueError(
             f"checkpoint_every must be a positive step count, "
@@ -277,6 +293,17 @@ def run_simulation(
         )
     iters = params.max_iters if n_iters is None else n_iters
     obstacles = np.asarray(obstacles, dtype=bool)
+    pad_rows = 0
+    if mesh is not None:
+        # Non-divisor device counts: pad with wall-shielded obstacle rows
+        # instead of demoting the mesh (halo.plan_row_padding; the
+        # reference's allocate_rows balancing, d2q9-bgk.c:483-492). The
+        # pad is sliced back off the final state below.
+        from lbm_tpu.parallel import halo as _halo
+
+        pad_rows = _halo.plan_row_padding(params, obstacles, mesh, kernel)
+        if pad_rows:
+            params, obstacles = _halo.pad_scene(params, obstacles, pad_rows)
     inv_fluid = num_non_obstacles_r(obstacles, dtype=params.dtype)
     obs_dev = jnp.asarray(obstacles)
 
@@ -294,7 +321,7 @@ def run_simulation(
         if mesh is not None:
             raise ValueError("--debug is not supported with --devices > 1")
         return _run_debug(
-            params, cells0, obs_dev, inv_fluid, kernel, iters, t0,
+            params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
             obstacles, start_step, av0,
             checkpoint_every=checkpoint_every,
             checkpoint_file=checkpoint_file,
@@ -311,10 +338,10 @@ def run_simulation(
         )
         compiled = simulate.lower(cells0, obs_dev, inv_fluid).compile()
         jax.block_until_ready((cells0, obs_dev))
-        t1 = time.perf_counter()
-        cells, av_vels = compiled(cells0, obs_dev, inv_fluid)
-        _fence(av_vels)
-        t2 = time.perf_counter()
+        timers.stop("init")
+        with timers.phase("compute"), trace_ctx():
+            cells, av_vels = compiled(cells0, obs_dev, inv_fluid)
+            _fence(av_vels)
     elif checkpoint_every or start_step:
         # Chunked path (single-device or sharded): one jitted runner per
         # distinct chunk length (full chunks + possibly a shorter tail),
@@ -345,51 +372,51 @@ def run_simulation(
         }
         cells = cells0
         jax.block_until_ready((cells0, obs_dev))
-        t1 = time.perf_counter()
-        tt = start_step
-        while tt < iters:
-            n = min(stride, iters - tt)
-            cells, av_vels = runners[n](
-                cells, obs_dev, inv_fluid, av_vels, jnp.int32(tt)
-            )
-            tt += n
-            if checkpoint_every and checkpoint_file is not None:
-                _fence(av_vels)
-                save_checkpoint(checkpoint_file, tt, cells, av_vels)
-        _fence(av_vels)
-        t2 = time.perf_counter()
+        timers.stop("init")
+        timers.start("compute")
+        with trace_ctx():
+            tt = start_step
+            while tt < iters:
+                n = min(stride, iters - tt)
+                cells, av_vels = runners[n](
+                    cells, obs_dev, inv_fluid, av_vels, jnp.int32(tt)
+                )
+                tt += n
+                if checkpoint_every and checkpoint_file is not None:
+                    _fence(av_vels)
+                    save_checkpoint(checkpoint_file, tt, cells, av_vels)
+            _fence(av_vels)
+        timers.stop("compute")
     else:
         simulate = make_simulate(params, kernel=kernel, n_iters=iters)
         compiled = simulate.lower(cells0, obs_dev, inv_fluid).compile()
         jax.block_until_ready((cells0, obs_dev))
-        t1 = time.perf_counter()
-        cells, av_vels = compiled(cells0, obs_dev, inv_fluid)
-        _fence(av_vels)
-        t2 = time.perf_counter()
+        timers.stop("init")
+        with timers.phase("compute"), trace_ctx():
+            cells, av_vels = compiled(cells0, obs_dev, inv_fluid)
+            _fence(av_vels)
 
     # Collate: device -> host gather of the final lattice + trajectory.
     # Reynolds is computed on the DEVICE-RESIDENT state: re-uploading the
     # lattice would cost ~17 s at 16384x1024 over the ~35 MB/s tunnel
     # (docs/PERF.md measurement rules).
-    cells_np = np.asarray(jax.device_get(cells), dtype=params.dtype)
-    av_np = np.asarray(jax.device_get(av_vels), dtype=params.dtype)
-    reynolds = float(calc_reynolds(params, cells, obs_dev))
-    t3 = time.perf_counter()
+    with timers.phase("collate"):
+        cells_np = np.asarray(jax.device_get(cells), dtype=params.dtype)
+        av_np = np.asarray(jax.device_get(av_vels), dtype=params.dtype)
+        reynolds = float(calc_reynolds(params, cells, obs_dev))
+    timers.stop("total")
+    if pad_rows:
+        cells_np = cells_np[:, pad_rows:, :]
 
     return SimulationResult(
         cells=cells_np,
         av_vels=av_np,
         reynolds=reynolds,
-        timings={
-            "init": t1 - t0,
-            "compute": t2 - t1,
-            "collate": t3 - t2,
-            "total": t3 - t0,
-        },
+        timings=dict(timers.elapsed),
     )
 
 
-def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, t0,
+def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
                obstacles, start_step=0, av0=None,
                checkpoint_every=None, checkpoint_file=None):
     """Python-loop path printing the reference's -DDEBUG block per step
@@ -399,7 +426,8 @@ def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, t0,
     step = jax.jit(_select_step(kernel, params))
     cells = cells0
     av = np.zeros((iters,), dtype=params.dtype) if av0 is None else av0
-    t1 = time.perf_counter()
+    timers.stop("init")
+    timers.start("compute")
     for tt in range(start_step, iters):
         cells, tot_u = step(cells, obs_dev)
         av[tt] = np.asarray(tot_u) * inv_fluid
@@ -410,14 +438,14 @@ def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, t0,
         if (checkpoint_every and checkpoint_file is not None
                 and (done % checkpoint_every == 0 or done == iters)):
             save_checkpoint(checkpoint_file, done, cells, av)
-    t2 = time.perf_counter()
-    cells_np = np.asarray(cells, dtype=params.dtype)
-    reynolds = float(calc_reynolds(params, cells, obs_dev))
-    t3 = time.perf_counter()
+    timers.stop("compute")
+    with timers.phase("collate"):
+        cells_np = np.asarray(cells, dtype=params.dtype)
+        reynolds = float(calc_reynolds(params, cells, obs_dev))
+    timers.stop("total")
     return SimulationResult(
         cells=cells_np,
         av_vels=av,
         reynolds=reynolds,
-        timings={"init": t1 - t0, "compute": t2 - t1, "collate": t3 - t2,
-                 "total": t3 - t0},
+        timings=dict(timers.elapsed),
     )

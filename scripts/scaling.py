@@ -16,12 +16,15 @@ def print_scalings(results):
     for r in results:
         if "error" in r:
             continue
-        by_grid[(r["grid"], r["kernel"])][r["devices"]] = r["seconds"]
-    for (grid, kernel), times in sorted(by_grid.items()):
+        key = (r["grid"], r["kernel"], r.get("backend", "?"),
+               r.get("mode", "hardware"))
+        by_grid[key][r["devices"]] = r["seconds"]
+    for (grid, kernel, backend, mode), times in sorted(by_grid.items()):
         if 1 not in times:
             continue
         base = times[1]
-        print(f"{grid} [{kernel}]:")
+        tag = f"{kernel}@{backend}" + ("" if mode == "hardware" else f", {mode}")
+        print(f"{grid} [{tag}]:")
         for nd in sorted(times):
             print(f"  ({nd}, {base / times[nd]:.3f})")
 

@@ -36,6 +36,10 @@ GRID_SCENES = {
     # The reference's hybrid-report stress grid (report_mpi/report.tex:859);
     # no shipped .params file, parameters follow the >=1024-wide scenes.
     "131072x128": (131072, 128, 20000, 0.01),
+    # Small wide grid for functional (interpret-mode) transposed-x
+    # sharded sweep rows — CPU-tractable stand-in for the wide stress
+    # grids' sharding structure.
+    "512x64": (512, 64, 2000, 0.005),
 }
 
 
@@ -89,11 +93,19 @@ def run_config(grid, kernel, n_devices, iters, repeats):
         c, a = compiled(cells0, obs_dev, inv)
         np.asarray(a)
         best = min(best, time.perf_counter() - t0)
-    return {
+    backend = jax.default_backend()
+    row = {
         "grid": grid, "kernel": kernel, "devices": n_devices,
         "iters": iters, "seconds": best,
         "glups": nx * ny * iters / best / 1e9,
+        "backend": backend,
     }
+    if backend != "tpu":
+        # Virtual-device rows prove the sharded program end-to-end but
+        # share host cores (and run pallas in interpret mode) — they are
+        # NOT a hardware scaling measurement (docs/PERF.md).
+        row["mode"] = "functional-not-hardware"
+    return row
 
 
 def main(argv=None):
@@ -108,6 +120,12 @@ def main(argv=None):
         "--platform", default=None, choices=["cpu", "tpu"],
         help="force the jax platform (cpu provisions a virtual device "
              "mesh sized to max(--devices))",
+    )
+    p.add_argument(
+        "--append", action="store_true",
+        help="merge into the existing output file instead of replacing "
+             "it (rows with the same grid/kernel/devices/backend are "
+             "updated in place)",
     )
     args = p.parse_args(argv)
 
@@ -125,7 +143,16 @@ def main(argv=None):
                  "error": f"{type(exc).__name__}: {exc}"}
         print(json.dumps(r), flush=True)
         results.append(r)
-    Path(args.output).write_text(json.dumps(results, indent=2) + "\n")
+    out = Path(args.output)
+    if args.append and out.exists():
+        def key(r):
+            return (r.get("grid"), r.get("kernel"), r.get("devices"),
+                    r.get("backend"))
+
+        merged = {key(r): r for r in json.loads(out.read_text())}
+        merged.update({key(r): r for r in results})
+        results = list(merged.values())
+    out.write_text(json.dumps(results, indent=2) + "\n")
     return 0
 
 

@@ -1,0 +1,126 @@
+"""Per-op time table from a jax.profiler trace — the gprof flat-profile
+analogue (the reference archived gprof output naming its hot functions,
+/root/reference/profiling/v0_128x128.txt:7-9; this summarises where the
+TPU step's time goes instead of hand-waving from totals).
+
+Two modes:
+
+- ``--capture``: run a short 1024x1024 simulation with the production
+  kernel under profiling.trace (same hook as ``lbm_tpu --trace DIR``),
+  then summarise the capture.
+- ``TRACEDIR`` positional: summarise an existing trace directory (e.g.
+  one written by ``python -m lbm_tpu ... --trace DIR``).
+
+The profiler writes Chrome-trace JSON (plugins/profile/*/…trace.json.gz);
+this aggregates complete events by (process, op name) and prints the top
+entries by total duration, writing docs/profiles/trace_ops_1024.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def capture(tracedir: str, iters: int) -> None:
+    import numpy as np
+
+    import bench
+
+    bench._enable_compilation_cache()
+    from lbm_tpu.obstacles import generate_obstacles
+    from lbm_tpu.params import Params
+    from lbm_tpu.runner import run_simulation
+
+    params = Params(nx=1024, ny=1024, max_iters=iters, reynolds_dim=10,
+                    density=np.float32(0.1), accel=np.float32(0.01),
+                    omega=np.float32(1.85))
+    obstacles = generate_obstacles(params.nx, params.ny)
+    # One untraced run first: the traced region should hold steady-state
+    # execution, not the one-off remote program load (docs/PERF.md).
+    run_simulation(params, obstacles, kernel="auto")
+    res = run_simulation(params, obstacles, kernel="auto",
+                         trace_dir=tracedir)
+    print(f"captured: compute={res.timings['compute']:.3f}s "
+          f"({params.nx * params.ny * iters / res.timings['compute'] / 1e9:.2f} GLUPS)")
+
+
+def summarise(tracedir: str, top: int = 25) -> dict:
+    paths = sorted(glob.glob(
+        os.path.join(tracedir, "**", "*.trace.json.gz"), recursive=True
+    )) or sorted(glob.glob(
+        os.path.join(tracedir, "**", "*.trace.json"), recursive=True
+    ))
+    if not paths:
+        raise FileNotFoundError(f"no trace.json(.gz) under {tracedir}")
+    path = paths[-1]
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+
+    procs = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            procs[e.get("pid")] = e.get("args", {}).get("name", "")
+
+    agg = defaultdict(lambda: [0.0, 0])
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        proc = procs.get(e.get("pid"), str(e.get("pid")))
+        key = (proc, e.get("name", "?"))
+        agg[key][0] += e["dur"]
+        agg[key][1] += 1
+
+    rows = sorted(
+        ({"process": p, "op": n, "total_us": round(d, 1), "count": c,
+          "avg_us": round(d / max(c, 1), 2)}
+         for (p, n), (d, c) in agg.items()),
+        key=lambda r: -r["total_us"],
+    )
+    device_total = sum(
+        r["total_us"] for r in rows
+        if "TPU" in r["process"] or "/device" in r["process"].lower()
+    )
+    for r in rows:
+        r["pct_device"] = (
+            round(100 * r["total_us"] / device_total, 2) if device_total else None
+        )
+    return {"trace_file": path, "device_total_us": round(device_total, 1),
+            "ops": rows[:top]}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("tracedir", nargs="?", default="/tmp/lbm_trace")
+    ap.add_argument("--capture", action="store_true",
+                    help="run a traced 1024x1024 simulation first")
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("-o", "--output",
+                    default="docs/profiles/trace_ops_1024.json")
+    args = ap.parse_args()
+
+    if args.capture:
+        capture(args.tracedir, args.iters)
+    report = summarise(args.tracedir)
+    os.makedirs(os.path.dirname(args.output), exist_ok=True)
+    with open(args.output, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"{'process':<28} {'op':<44} {'total_us':>10} {'count':>7} {'pct':>6}")
+    for r in report["ops"]:
+        print(f"{r['process'][:27]:<28} {r['op'][:43]:<44} "
+              f"{r['total_us']:>10.1f} {r['count']:>7} "
+              f"{(r['pct_device'] if r['pct_device'] is not None else 0):>6.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    main()
