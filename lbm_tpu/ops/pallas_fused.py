@@ -60,7 +60,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lbm_tpu.params import Params
 from lbm_tpu.state import D2Q9
-from lbm_tpu.ops.reference import _bgk_update, accelerate_flow
+from lbm_tpu.ops.reference import (
+    _bgk_update,
+    _bgk_update_planes,
+    accelerate_flow,
+)
 
 Q = D2Q9.Q
 # Edge-row arrays pad the speed dim to a sublane multiple: Mosaic requires
@@ -181,55 +185,95 @@ def _kernel(
     omega: np.float32,
     accel: AccelSpec | None,
     ring: bool = False,
+    seam: bool = False,
     has_dst: bool = False,
     dynamic_accel: bool = False,
 ):
     rest = list(rest)
     accmask_ref = rest.pop(0) if dynamic_accel else None
+    if seam:
+        south_ref = rest.pop(0)  # (1, QP, nx) ppermuted seam prev entry
+        north_ref = rest.pop(0)  # (1, QP, nx) ppermuted seam next entry
     if has_dst:
         # Donor refs for input_output_aliases — memory only, never read.
-        (_dc, _df, _dl, out_ref, firsts_ref, lasts_ref, tot_ref,
-         body_scr, prev_scr, next_scr, sems) = rest
-    else:
-        (out_ref, firsts_ref, lasts_ref, tot_ref,
-         body_scr, prev_scr, next_scr, sems) = rest
+        rest = rest[3:]
+    (out_ref, firsts_ref, lasts_ref, tot_ref,
+     body_scr, prev_scr, next_scr, sems) = rest
     # out_ref: (9, BY, nx) VMEM block; firsts/lasts_ref: (1, QP, nx) VMEM
     # blocks (this block's new edge rows); tot_ref: (1,1) SMEM, same block
     # every step; body/prev/next_scr: double-buffered VMEM DMA slots.
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
-    def dmas(block, slot):
+    def body_dma(block, slot):
+        return pltpu.make_async_copy(
+            interior_ref.at[:, pl.ds(block * by, by), :],
+            body_scr.at[slot],
+            sems.at[slot, 0],
+        )
+
+    def prev_dma(block, slot):
+        # ring: prevs_ref/nexts_ref hold the CURRENT lasts/firsts arrays;
+        # block b's south neighbour row is lasts[(b-1) % n] and its north
+        # neighbour firsts[(b+1) % n] (periodic y). seam: same resident
+        # indexing with clamping — block 0's start is replaced by the
+        # seam DMA (same shape and semaphore, so this descriptor still
+        # serves wait()). explicit (neither): per-block prevs/nexts.
         if ring:
-            # prevs_ref/nexts_ref hold the CURRENT lasts/firsts arrays;
-            # block b's south neighbour row is lasts[(b-1) % n] and its
-            # north neighbour is firsts[(b+1) % n] (periodic y).
-            prev_src = prevs_ref.at[(block - 1 + n) % n]
-            next_src = nexts_ref.at[(block + 1) % n]
+            src = prevs_ref.at[(block - 1 + n) % n]
+        elif seam:
+            src = prevs_ref.at[jnp.maximum(block - 1, 0)]
         else:
-            prev_src = prevs_ref.at[block]
-            next_src = nexts_ref.at[block]
-        return (
-            pltpu.make_async_copy(
-                interior_ref.at[:, pl.ds(block * by, by), :],
-                body_scr.at[slot],
-                sems.at[slot, 0],
-            ),
-            pltpu.make_async_copy(
-                prev_src, prev_scr.at[slot], sems.at[slot, 1]
-            ),
-            pltpu.make_async_copy(
-                next_src, next_scr.at[slot], sems.at[slot, 2]
-            ),
+            src = prevs_ref.at[block]
+        return pltpu.make_async_copy(
+            src, prev_scr.at[slot], sems.at[slot, 1]
+        )
+
+    def next_dma(block, slot):
+        if ring:
+            src = nexts_ref.at[(block + 1) % n]
+        elif seam:
+            src = nexts_ref.at[jnp.minimum(block + 1, n - 1)]
+        else:
+            src = nexts_ref.at[block]
+        return pltpu.make_async_copy(
+            src, next_scr.at[slot], sems.at[slot, 2]
         )
 
     def start(block, slot):
-        for dma in dmas(block, slot):
-            dma.start()
+        body_dma(block, slot).start()
+        if not seam:
+            prev_dma(block, slot).start()
+            next_dma(block, slot).start()
+        else:
+            # Boundary blocks read the ppermuted seam entries (the
+            # reference's halo rows, d2q9-bgk.c:341-393); interior
+            # blocks ring-index the resident neighbour entries — no
+            # rolled edge-array copies outside the kernel.
+            @pl.when(block == 0)
+            def _():
+                pltpu.make_async_copy(
+                    south_ref.at[0], prev_scr.at[slot], sems.at[slot, 1]
+                ).start()
+
+            @pl.when(block > 0)
+            def _():
+                prev_dma(block, slot).start()
+
+            @pl.when(block == n - 1)
+            def _():
+                pltpu.make_async_copy(
+                    north_ref.at[0], next_scr.at[slot], sems.at[slot, 2]
+                ).start()
+
+            @pl.when(block < n - 1)
+            def _():
+                next_dma(block, slot).start()
 
     def wait(block, slot):
-        for dma in dmas(block, slot):
-            dma.wait()
+        body_dma(block, slot).wait()
+        prev_dma(block, slot).wait()
+        next_dma(block, slot).wait()
 
     # Double-buffered pipeline: warm up block 0, prefetch block i+1 while
     # computing block i (sequential TPU grid).
@@ -365,13 +409,18 @@ def gather_edge_rows(interior, obstacles, by, accel_mask=None):
 
 
 def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret,
-                 accel=None, ring=False, dst=None, accel_mask=None):
+                 accel=None, ring=False, seams=None, dst=None,
+                 accel_mask=None):
     """One fused step. Returns ``(new, firsts, lasts, tot)`` where
     firsts/lasts are the NEW state's per-block edge rows.
 
     ``ring=True``: ``prevs``/``nexts`` are the CURRENT lasts/firsts edge
     arrays themselves; the kernel ring-indexes neighbours (periodic y) —
-    no rolled copies. ``dst``: optional (cells, firsts, lasts) buffer
+    no rolled copies. ``seams=(south_entry, north_entry)``: the sharded
+    form of the same — prevs/nexts are the shard's OWN lasts/firsts,
+    resident entries are ring-indexed in-kernel and the two boundary
+    blocks read the (1, QP, nx) ppermuted seam entries.
+    ``dst``: optional (cells, firsts, lasts) buffer
     donors aliased to the first three outputs, letting a paired stepping
     loop keep every while-carry slot on a fixed buffer (XLA otherwise
     inserts a full-lattice carry copy per iteration above ~100 MB state).
@@ -386,6 +435,7 @@ def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret,
 
     kernel = functools.partial(
         _kernel, by=by, omega=omega, accel=accel, ring=ring,
+        seam=seams is not None,
         has_dst=dst is not None, dynamic_accel=accel_mask is not None,
     )
     in_specs = [
@@ -400,6 +450,9 @@ def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret,
             pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
         )
         operands.append(accel_mask)
+    if seams is not None:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
+        operands += [seams[0], seams[1]]
     aliases = {}
     if dst is not None:
         base = len(operands)
@@ -591,51 +644,85 @@ def _kernel_fused(
     accel: AccelSpec,
     depth: int,
     ring: bool = True,
+    seam: bool = False,
     has_dst: bool = False,
     dynamic_accel: bool = False,
 ):
     rest = list(rest)
     accmask_ref = rest.pop(0) if dynamic_accel else None
+    if seam:
+        south_ref = rest.pop(0)  # (1, qpd, nx) ppermuted seam prev entry
+        north_ref = rest.pop(0)  # (1, qpd, nx) ppermuted seam next entry
     if has_dst:
-        (_dc, _df, _dl, out_ref, firsts_out_ref, lasts_out_ref, tot_ref,
-         body_scr, prev_scr, next_scr, sems) = rest
-    else:
-        (out_ref, firsts_out_ref, lasts_out_ref, tot_ref,
-         body_scr, prev_scr, next_scr, sems) = rest
+        rest = rest[3:]  # donor refs: memory only, never read
+    (out_ref, firsts_out_ref, lasts_out_ref, tot_ref,
+     body_scr, prev_scr, next_scr, sems) = rest
     i = pl.program_id(0)
     n = pl.num_programs(0)
     D = depth
 
-    def dmas(block, slot):
+    def body_dma(block, slot):
+        return pltpu.make_async_copy(
+            interior_ref.at[:, pl.ds(block * by, by), :],
+            body_scr.at[slot],
+            sems.at[slot, 0],
+        )
+
+    def prev_dma(block, slot):
+        # ring: periodic resident indexing. seam: resident indexing with
+        # clamping — block 0's start is replaced by the seam DMA in
+        # start() (same shape/semaphore, so the descriptor serves wait()).
         if ring:
-            prev_src = lasts_ref.at[(block - 1 + n) % n]
-            next_src = firsts_ref.at[(block + 1) % n]
+            src = lasts_ref.at[(block - 1 + n) % n]
         else:
-            # Sharded mode: explicit per-block neighbour-entry arrays
-            # (the shard's boundary entries arrived by ppermute).
-            prev_src = lasts_ref.at[block]
-            next_src = firsts_ref.at[block]
-        return (
-            pltpu.make_async_copy(
-                interior_ref.at[:, pl.ds(block * by, by), :],
-                body_scr.at[slot],
-                sems.at[slot, 0],
-            ),
-            pltpu.make_async_copy(
-                prev_src, prev_scr.at[slot], sems.at[slot, 1]
-            ),
-            pltpu.make_async_copy(
-                next_src, next_scr.at[slot], sems.at[slot, 2]
-            ),
+            src = lasts_ref.at[jnp.maximum(block - 1, 0)]
+        return pltpu.make_async_copy(
+            src, prev_scr.at[slot], sems.at[slot, 1]
+        )
+
+    def next_dma(block, slot):
+        if ring:
+            src = firsts_ref.at[(block + 1) % n]
+        else:
+            src = firsts_ref.at[jnp.minimum(block + 1, n - 1)]
+        return pltpu.make_async_copy(
+            src, next_scr.at[slot], sems.at[slot, 2]
         )
 
     def start(block, slot):
-        for dma in dmas(block, slot):
-            dma.start()
+        body_dma(block, slot).start()
+        if not seam:
+            prev_dma(block, slot).start()
+            next_dma(block, slot).start()
+        else:
+            # The two boundary blocks read the ppermuted seam entries
+            # (the reference's halo rows, d2q9-bgk.c:341-393); interior
+            # blocks ring-index resident entries — the per-pass rolled
+            # edge-array copies the old sharded path built are gone.
+            @pl.when(block == 0)
+            def _():
+                pltpu.make_async_copy(
+                    south_ref.at[0], prev_scr.at[slot], sems.at[slot, 1]
+                ).start()
+
+            @pl.when(block > 0)
+            def _():
+                prev_dma(block, slot).start()
+
+            @pl.when(block == n - 1)
+            def _():
+                pltpu.make_async_copy(
+                    north_ref.at[0], next_scr.at[slot], sems.at[slot, 2]
+                ).start()
+
+            @pl.when(block < n - 1)
+            def _():
+                next_dma(block, slot).start()
 
     def wait(block, slot):
-        for dma in dmas(block, slot):
-            dma.wait()
+        body_dma(block, slot).wait()
+        prev_dma(block, slot).wait()
+        next_dma(block, slot).wait()
 
     @pl.when(i == 0)
     def _():
@@ -707,13 +794,45 @@ def _kernel_fused(
         ).astype(jnp.float32)
         T_line = U_line = jnp.stack([lane1] * D)
 
+    # Static forcing: the guard product only needs the forced LINE's
+    # values, so extract that one row/column per stage instead of
+    # evaluating three full-plane guard compares — the line-and-fluid
+    # indicator (with the owner factor) is loop-invariant and broadcasts
+    # back over the narrow guard result. Cuts the body forcing from ~13
+    # plane-ops per stage to ~8 (docs/PERF.md v6.5); the dynamic sharded
+    # mask keeps the full-plane form (its line position is per-shard).
+    if not dynamic_accel:
+        body_lf = body_line * (np.float32(1.0) - obs_body_f)
+        if accel.axis == 0:
+            lr_s = accel.index % by
+
+            def _line(v):
+                return v[lr_s:lr_s + 1, :]
+        else:
+            c_s = accel.index
+
+            def _line(v):
+                return v[:, c_s:c_s + 1]
+
+        def accel_body(planes):
+            okl = None
+            for g, t in accel.guards:
+                ind = (
+                    _line(planes[g]) - np.float32(t) > np.float32(0.0)
+                ).astype(jnp.float32)
+                okl = ind if okl is None else okl * ind
+            return _accelerated(planes, body_lf * okl, accel)
+    else:
+        def accel_body(planes):
+            return _accel_rows2(planes, obs_body_f, body_line, accel)
+
     # --- D fused timesteps: accelerate -> stream, shrinking the boundary
     # stacks by one row per side per stage (redundant recompute of
     # 2*(D-1+...+1) rows per block, ~D^2/by extra work).
     tots = []
     for stage in range(D):
         m = D - stage  # boundary rows per side at this stage's entry
-        body = _accel_rows2(body, obs_body_f, body_line, accel)
+        body = accel_body(body)
         T = _accel_rows2(T, T_obs[:m], T_line[:m], accel)
         U = _accel_rows2(U, U_obs[:m], U_line[:m], accel)
 
@@ -743,10 +862,14 @@ def _kernel_fused(
             U_obs = U_obs[0 : m - 1]
             T_line = T_line[1:m]
             U_line = U_line[0 : m - 1]
-            T_new, _ = _bgk_update(t_src, T_obs > np.float32(0.5), omega)
-            U_new, _ = _bgk_update(u_src, U_obs > np.float32(0.5), omega)
-            T = [T_new[k] for k in range(Q)]
-            U = [U_new[k] for k in range(Q)]
+            # planes-only update: the boundary rows' tot_u is never
+            # counted (owned rows only), so skip its sqrt+reduce.
+            T, _ = _bgk_update_planes(
+                t_src, T_obs > np.float32(0.5), omega
+            )
+            U, _ = _bgk_update_planes(
+                u_src, U_obs > np.float32(0.5), omega
+            )
         body = [new[k] for k in range(Q)]
 
     out_ref[:] = new
@@ -782,21 +905,24 @@ def _kernel_fused(
 
 
 def _pallas_step_fused(interior, firsts, lasts, obs_i8, *, omega_f,
-                       interpret, accel, depth, ring=True, dst=None,
-                       accel_mask=None):
+                       interpret, accel, depth, ring=True, seams=None,
+                       dst=None, accel_mask=None):
     """One fused ``depth``-step pass. Returns
     ``(new, firsts', lasts', tots)`` where the edge arrays are the
     t+depth state's depth-deep edge rows and ``tots`` is the (depth,)
     per-step |u| sums, in step order.
 
     ``ring=True``: periodic y, the kernel ring-indexes lasts/firsts as
-    its neighbour entries. ``ring=False``: sharded mode — ``lasts`` /
-    ``firsts`` are explicit per-block prev/next entry arrays (boundary
-    entries arrived by ppermute). ``accel_mask``: dynamic SPMD forcing
+    its neighbour entries. ``seams=(south_entry, north_entry)``: sharded
+    mode — lasts/firsts are the shard's OWN edge arrays, resident
+    entries are ring-indexed in-kernel and the two boundary blocks read
+    the (1, qpd, nx) ppermuted seam entries (no per-pass rolled
+    edge-array copies). ``accel_mask``: dynamic SPMD forcing
     (``accel`` still supplies deltas/guards; the line indicator comes
     from the mask and the edge ACC channels).
 
     Like :func:`_pallas_step`, deliberately not jitted itself."""
+    assert ring or seams is not None, "sharded mode requires seam entries"
     q, h, nx = interior.shape
     by = _pick_block_rows(h, nx)
     n_blocks = h // by
@@ -805,7 +931,7 @@ def _pallas_step_fused(interior, firsts, lasts, obs_i8, *, omega_f,
 
     kernel = functools.partial(
         _kernel_fused, by=by, h=h, omega=omega, accel=accel, depth=depth,
-        ring=ring, has_dst=dst is not None,
+        ring=ring, seam=seams is not None, has_dst=dst is not None,
         dynamic_accel=accel_mask is not None,
     )
     in_specs = [
@@ -820,6 +946,9 @@ def _pallas_step_fused(interior, firsts, lasts, obs_i8, *, omega_f,
             pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
         )
         operands.append(accel_mask)
+    if seams is not None:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
+        operands += [seams[0], seams[1]]
     aliases = {}
     if dst is not None:
         base = len(operands)
@@ -868,422 +997,6 @@ def _pallas_step_fused(interior, firsts, lasts, obs_i8, *, omega_f,
         interpret=interpret,
     )(*operands)
     return new, firsts_o, lasts_o, tot[0]
-
-
-# ---------------------------------------------------------------------------
-# Fused multi-step kernel v7: extended-row VMEM blocks ("ext")
-# ---------------------------------------------------------------------------
-#
-# Same temporal-blocking algorithm as _kernel_fused, restructured around
-# one extended per-block VMEM buffer of shape (Q, by + 2*PAD, nx) that
-# holds the D boundary rows contiguously with the body (rows PAD-D..PAD-1
-# below, PAD+by..PAD+by+D-1 above). Why (measured on v5e, docs/PERF.md
-# v7): the v5/v6 kernel was VPU-issue-bound at ~23 GLUPS on 1024-lane
-# grids, and three of its per-stage costs were structural, not physical —
-#
-#  1. edge patching: 6 iota-selects per stage splicing the neighbour rows
-#     into rolled planes -> here streaming is 9 shifted sublane reads of
-#     the ext buffer (boundary data already in place);
-#  2. boundary stacks: separate (m, nx) T/U arrays pay 8-sublane padding
-#     on every op (~12% at depth 4) plus stack/concat plumbing -> here
-#     each stage computes ONE contiguous row range [-(m-1), by+m-1);
-#  3. acceleration: guarded forcing applied to body+stacks as full-plane
-#     indicator products (~20 plane-ops per stage even on blocks that
-#     don't contain the forced row) -> here the forced line is updated
-#     in place in the ext buffer: rows mode reads one dynamic 8-row
-#     sublane tile (~1 plane-op), lanes mode one static 128-lane tile.
-#
-# The forced-row position is a runtime scalar (SMEM input) valid in
-# shard-local coordinates, tested modulo the global row count against
-# each block's extended window — which subsumes the v6 static owner
-# factors, the dynamic ACC channels AND the periodic-wrap corner cases
-# (the reference's rank/buffer accelerate flags, d2q9-bgk.c:241-245,
-# 498-500) in one mechanism. Obstacle flags for the boundary rows come
-# from a prebuilt loop-invariant (n_blocks, by+2*PAD, nx) f32 array
-# (sharded callers ppermute the PAD neighbour rows once at init), so
-# edge entries carry only the Q speeds: ceil8(9*D) channels instead of
-# 16*D — 37% less edge traffic at depth 4.
-#
-# Sharded mode takes the shard's own resident edge arrays plus ONE
-# ppermuted seam entry per side and ring-indexes everything else
-# (pl.when-selected DMA sources), eliminating the per-pass rolled
-# edge-array concatenations the v6 halo path paid (~10% of a lattice
-# pass, VERDICT r2 weak #2); the single-chip path ring-indexes with
-# periodic wrap exactly as before.
-
-PAD = 8  # ext boundary rows per side; 8 keeps the body DMA tile-aligned
-         # and bounds the supported fusion depth (depth <= PAD)
-
-
-def _edge_qpd(depth: int) -> int:
-    """Packed edge-entry channel count: depth row-slots of Q speeds,
-    rounded up to the 8-sublane DMA granularity (slot j = channels
-    [Q*j, Q*j+Q))."""
-    return -(-(Q * depth) // 8) * 8
-
-
-def gather_edge_rows_packed(interior, by, depth):
-    """Per-block depth-deep edge rows in the packed layout:
-    ``(firsts, lasts)`` of shape (n_blocks, _edge_qpd(depth), nx);
-    firsts slot j = block row j, lasts slot j = block row by-1-j."""
-    n_blocks = interior.shape[1] // by
-    nx = interior.shape[2]
-    qpd = _edge_qpd(depth)
-
-    def build(offsets):
-        parts = [interior[:, off::by, :].transpose(1, 0, 2)
-                 for off in offsets]
-        if qpd > Q * depth:
-            parts.append(
-                jnp.zeros((n_blocks, qpd - Q * depth, nx), jnp.float32)
-            )
-        return jnp.concatenate(parts, axis=1)
-
-    firsts = build(list(range(depth)))
-    lasts = build([by - 1 - j for j in range(depth)])
-    return firsts, lasts
-
-
-def build_ext_obs(obstacles, by, south=None, north=None):
-    """Loop-invariant (n_blocks, by+2*PAD, nx) f32 obstacle flags covering
-    each block's extended row window. ``south``/``north``: the (PAD, nx)
-    rows beyond the first/last local row (sharded callers ppermute them
-    from the neighbour shards once); default periodic wrap."""
-    obs_f = jnp.asarray(obstacles).astype(jnp.float32)
-    if south is None:
-        south = obs_f[-PAD:, :]
-    if north is None:
-        north = obs_f[:PAD, :]
-    extv = jnp.concatenate(
-        [south.astype(jnp.float32), obs_f, north.astype(jnp.float32)],
-        axis=0,
-    )
-    n_blocks = obs_f.shape[0] // by
-    return jnp.stack(
-        [extv[b * by: b * by + by + 2 * PAD, :] for b in range(n_blocks)]
-    )
-
-
-def _kernel_ext(
-    interior_ref,  # (9, H, nx) HBM
-    lasts_ref,  # (n_blocks, qpd, nx) HBM: this lattice's lasts entries
-    firsts_ref,  # (n_blocks, qpd, nx) HBM: firsts entries
-    extobs_ref,  # (n_blocks, by+2*PAD, nx) f32 HBM (loop-invariant)
-    arow_ref,  # (1, 1) SMEM int32: shard-local forced-row index (rows mode)
-    *rest,
-    by: int,
-    total_rows: int,
-    omega: np.float32,
-    accel: AccelSpec,
-    depth: int,
-    shard: bool,
-    has_dst: bool,
-):
-    from lbm_tpu.ops.reference import _bgk_update_planes
-
-    rest = list(rest)
-    if shard:
-        south_ref = rest.pop(0)  # (1, qpd, nx): ppermuted seam prev entry
-        north_ref = rest.pop(0)  # (1, qpd, nx): ppermuted seam next entry
-    if has_dst:
-        rest = rest[3:]  # donor refs: memory only, never read
-    (out_ref, firsts_out_ref, lasts_out_ref, tot_ref,
-     ext_scr, obs_scr, prev_scr, next_scr, sems) = rest
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
-    D = depth
-    nx = out_ref.shape[-1]
-    f1, f0 = np.float32(1.0), np.float32(0.0)
-
-    def body_dma(block, slot):
-        return pltpu.make_async_copy(
-            interior_ref.at[:, pl.ds(block * by, by), :],
-            ext_scr.at[slot, :, PAD:PAD + by, :],
-            sems.at[slot, 0],
-        )
-
-    def obs_dma(block, slot):
-        return pltpu.make_async_copy(
-            extobs_ref.at[block], obs_scr.at[slot], sems.at[slot, 3]
-        )
-
-    def prev_dma(block, slot):
-        """Resident prev entry: ring mode wraps periodically; shard mode
-        clamps (block 0's start is replaced by the seam DMA — same shape
-        and semaphore, so this descriptor still serves wait())."""
-        pb = jnp.maximum(block - 1, 0) if shard else (block - 1 + n) % n
-        return pltpu.make_async_copy(
-            lasts_ref.at[pb], prev_scr.at[slot], sems.at[slot, 1]
-        )
-
-    def next_dma(block, slot):
-        nb = jnp.minimum(block + 1, n - 1) if shard else (block + 1) % n
-        return pltpu.make_async_copy(
-            firsts_ref.at[nb], next_scr.at[slot], sems.at[slot, 2]
-        )
-
-    def start(block, slot):
-        body_dma(block, slot).start()
-        obs_dma(block, slot).start()
-        if not shard:
-            prev_dma(block, slot).start()
-            next_dma(block, slot).start()
-        else:
-            # Boundary blocks read the ppermuted seam entries (the
-            # reference's halo rows, d2q9-bgk.c:341-393) instead of a
-            # resident neighbour entry.
-            @pl.when(block == 0)
-            def _():
-                pltpu.make_async_copy(
-                    south_ref.at[0], prev_scr.at[slot], sems.at[slot, 1]
-                ).start()
-
-            @pl.when(block > 0)
-            def _():
-                prev_dma(block, slot).start()
-
-            @pl.when(block == n - 1)
-            def _():
-                pltpu.make_async_copy(
-                    north_ref.at[0], next_scr.at[slot], sems.at[slot, 2]
-                ).start()
-
-            @pl.when(block < n - 1)
-            def _():
-                next_dma(block, slot).start()
-
-    def wait(block, slot):
-        body_dma(block, slot).wait()
-        obs_dma(block, slot).wait()
-        prev_dma(block, slot).wait()
-        next_dma(block, slot).wait()
-
-    @pl.when(i == 0)
-    def _():
-        start(0, 0)
-
-    @pl.when(i + 1 < n)
-    def _():
-        # Clamp: on single-block grids the predicated-off prefetch would
-        # otherwise lower a statically out-of-range DMA offset.
-        start(jnp.minimum(i + 1, n - 1), (i + 1) % 2)
-
-    slot = i % 2
-    wait(i, slot)
-
-    # Scatter the edge entries into the ext buffer's boundary rows:
-    # prev slot j (neighbour row s-1-j) -> ext row PAD-1-j; next slot j
-    # (row s+by+j) -> ext row PAD+by+j. 2*D*Q narrow row copies.
-    for j in range(D):
-        for k in range(Q):
-            ext_scr[slot, k, PAD - 1 - j, :] = prev_scr[slot, Q * j + k, :]
-            ext_scr[slot, k, PAD + by + j, :] = next_scr[slot, Q * j + k, :]
-
-    if accel.axis == 1:
-        # Lanes mode: the forced column's 128-lane tile, precomputed.
-        ct = (accel.index // 128) * 128 if nx >= 128 else 0
-        cw = min(128, nx - ct)
-        lane_col = (
-            jax.lax.broadcasted_iota(jnp.int32, (by + 2 * PAD, cw), 1)
-            == np.int32(accel.index - ct)
-        ).astype(jnp.float32)
-        # Obstacle guard folded in once (the mask is loop-invariant).
-        lane_col = lane_col * (f1 - obs_scr[slot, :, ct:ct + cw])
-
-    def accel_rows(m):
-        """Rows mode: in-place guarded forcing of the forced row copy
-        (d2q9-bgk.c:235-266) wherever it lands in this block's valid
-        window [-m, by+m) — including periodic/shard-halo copies, which
-        appear as a second candidate offset by ±total_rows. Touches one
-        dynamic 8-row sublane tile per candidate."""
-        loc0 = arow_ref[0, 0] - i * by
-        for cand in (loc0, loc0 - total_rows, loc0 + total_rows):
-            active = jnp.logical_and(cand >= -m, cand < by + m)
-            activef = jnp.where(active, f1, f0)
-            idx = jnp.clip(cand, -m, by + m - 1) + PAD
-            tile = pl.multiple_of((idx // 8) * 8, 8)
-            # Row indicator without a vector-vs-dynamic-scalar compare
-            # (unsupported on this target): subtract the scalar, compare
-            # against static zero.
-            off_f = (idx - tile).astype(jnp.float32)
-            rid = jax.lax.broadcasted_iota(
-                jnp.int32, (8, nx), 0
-            ).astype(jnp.float32)
-            okf = ((rid - off_f) == f0).astype(jnp.float32) * activef
-            okf = okf * (f1 - obs_scr[slot, pl.ds(tile, 8), :])
-            for g, t in accel.guards:
-                v = ext_scr[slot, g, pl.ds(tile, 8), :]
-                okf = okf * (v - np.float32(t) > f0).astype(jnp.float32)
-            for k in range(Q):
-                d = np.float32(accel.deltas[k])
-                if float(d) != 0.0:
-                    cur = ext_scr[slot, k, pl.ds(tile, 8), :]
-                    ext_scr[slot, k, pl.ds(tile, 8), :] = cur + d * okf
-
-    def accel_lanes():
-        """Lanes mode (transposed layout): guarded forcing of the forced
-        lane column, in place on its 128-lane tile across all ext rows
-        (stale out-of-window rows are harmlessly forced too — they are
-        never read)."""
-        okf = lane_col
-        for g, t in accel.guards:
-            v = ext_scr[slot, g, :, ct:ct + cw]
-            okf = okf * (v - np.float32(t) > f0).astype(jnp.float32)
-        for k in range(Q):
-            d = np.float32(accel.deltas[k])
-            if float(d) != 0.0:
-                cur = ext_scr[slot, k, :, ct:ct + cw]
-                ext_scr[slot, k, :, ct:ct + cw] = cur + d * okf
-
-    # --- D fused timesteps ------------------------------------------------
-    tots = []
-    for s in range(D):
-        m = D - s  # valid boundary rows per side at this stage's entry
-        if accel.axis == 0:
-            accel_rows(m)
-        else:
-            accel_lanes()
-
-        olo = -(m - 1)
-        R = by + 2 * (m - 1)  # output rows [olo, olo+R)
-        base = PAD + olo
-        srcs = []
-        for k in range(Q):
-            cy = int(D2Q9.CY[k])
-            cx = int(D2Q9.CX[k])
-            w = ext_scr[slot, k, base - cy:base - cy + R, :]
-            if cx != 0:
-                w = pltpu.roll(w, cx % nx, 1)
-            srcs.append(w)
-        obs_o = obs_scr[slot, base:base + R, :] > np.float32(0.5)
-        new, umag = _bgk_update_planes(srcs, obs_o, omega)
-
-        # tot_u over owned rows only (union over blocks exact per step).
-        o0 = m - 1
-        tots.append(jnp.sum(jnp.where(
-            obs_o[o0:o0 + by, :], f0, umag[o0:o0 + by, :]
-        )))
-
-        if s < D - 1:
-            for k in range(Q):
-                ext_scr[slot, k, base:base + R, :] = new[k]
-    out_ref[:] = jnp.stack(new)
-
-    # --- export the new state's depth-deep packed edge rows ---------------
-    qpd = _edge_qpd(D)
-    f_parts = [new[k][j:j + 1, :] for j in range(D) for k in range(Q)]
-    l_parts = [new[k][by - 1 - j:by - j, :] for j in range(D) for k in range(Q)]
-    if qpd > Q * D:
-        pad_rows = jnp.zeros((qpd - Q * D, nx), jnp.float32)
-        f_parts.append(pad_rows)
-        l_parts.append(pad_rows)
-    firsts_out_ref[0] = jnp.concatenate(f_parts, axis=0)
-    lasts_out_ref[0] = jnp.concatenate(l_parts, axis=0)
-
-    @pl.when(i == 0)
-    def _():
-        for d in range(D):
-            tot_ref[0, d] = tots[d]
-
-    @pl.when(i > 0)
-    def _():
-        for d in range(D):
-            tot_ref[0, d] = tot_ref[0, d] + tots[d]
-
-
-def _pallas_step_ext(interior, firsts, lasts, ext_obs, arow, *, omega_f,
-                     interpret, accel, depth, total_rows=None, seams=None,
-                     dst=None):
-    """One v7 fused ``depth``-step pass. Returns
-    ``(new, firsts', lasts', tots)`` in the packed edge layout.
-
-    ``seams=None``: single-chip ring mode (periodic y in-kernel).
-    ``seams=(south_entry, north_entry)``: sharded mode — each a
-    (1, qpd, nx) ppermuted neighbour edge entry; resident entries are
-    ring-indexed from ``lasts``/``firsts`` directly (no rolled copies).
-    ``arow``: (1, 1) int32 shard-local forced-row index (rows mode).
-    ``total_rows``: global row count for periodic wrap tests (defaults
-    to the local height — correct single-chip)."""
-    q, h, nx = interior.shape
-    by = _pick_block_rows(h, nx)
-    n_blocks = h // by
-    qpd = _edge_qpd(depth)
-    shard = seams is not None
-    if total_rows is None:
-        total_rows = h
-
-    kernel = functools.partial(
-        _kernel_ext, by=by, total_rows=total_rows,
-        omega=np.float32(omega_f), accel=accel, depth=depth, shard=shard,
-        has_dst=dst is not None,
-    )
-    in_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-    ]
-    operands = [interior, lasts, firsts, ext_obs,
-                jnp.asarray(arow, jnp.int32).reshape(1, 1)]
-    if shard:
-        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
-        operands += [seams[0], seams[1]]
-    aliases = {}
-    if dst is not None:
-        base = len(operands)
-        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3
-        operands += list(dst)
-        aliases = {base: 0, base + 1: 1, base + 2: 2}
-    ext_rows = by + 2 * PAD
-    new, firsts_o, lasts_o, tot = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((Q, by, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qpd, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qpd, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, depth), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((q, h, nx), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, qpd, nx), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, qpd, nx), jnp.float32),
-            jax.ShapeDtypeStruct((1, depth), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, Q, ext_rows, nx), jnp.float32),
-            pltpu.VMEM((2, ext_rows, nx), jnp.float32),
-            pltpu.VMEM((2, qpd, nx), jnp.float32),
-            pltpu.VMEM((2, qpd, nx), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 4)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            # Two ext+obs DMA slots, the pipelined output blocks and the
-            # edge scratch/outputs, with headroom.
-            vmem_limit_bytes=min(
-                _VMEM_CAP,
-                4 * (2 * (Q + 1) * ext_rows * nx * 4 + 2 * Q * by * nx * 4)
-                + 64 * qpd * nx + (1 << 22),
-            ),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=int(100 * depth * h * nx),
-            bytes_accessed=int((2 * Q * 4 + 4) * h * nx),
-            transcendentals=int(depth * h * nx),
-        ),
-        input_output_aliases=aliases,
-        interpret=interpret,
-    )(*operands)
-    return new, firsts_o, lasts_o, tot[0]
-
-
-def _ext_enabled() -> bool:
-    """v7 ext kernel on/off (LBM_PALLAS_EXT=0 falls back to the v6
-    carried-edge kernel — kept for A/B measurement, docs/PERF.md)."""
-    return os.environ.get("LBM_PALLAS_EXT", "1") not in ("0", "", "false")
 
 
 def _edge_pad(row9, nx):
@@ -1346,9 +1059,7 @@ def carry_init(impl, cells, obstacles, accel_mask=None):
     in paired mode, allocate the ping-pong buffer set whose slots the
     aliased kernel calls keep fixed (docs/PERF.md v3)."""
     by = _pick_block_rows(cells.shape[1], cells.shape[2])
-    if getattr(impl, "ext", False):
-        firsts, lasts = gather_edge_rows_packed(cells, by, impl.fused)
-    elif impl.fused > 1:
+    if impl.fused > 1:
         firsts, lasts = gather_edge_rows_fused(
             cells, obstacles, by, impl.fused, accel_mask=accel_mask
         )
@@ -1407,10 +1118,6 @@ class CarryStep:
         # boundary recompute assume the standard tile geometry, and
         # by >= 2*depth keeps single-block wrap consistent).
         self.fused = fuse if (fuse > 1 and by % 8 == 0 and by >= 2 * fuse) else 1
-        # v7 ext kernel (extended-row VMEM blocks) serves every fused
-        # configuration up to depth PAD; LBM_PALLAS_EXT=0 selects the v6
-        # carried-edge kernel for A/B.
-        self.ext = self.fused > 1 and self.fused <= PAD and _ext_enabled()
         if self.fused > 1:
             self.steps_per_call = self.fused * (2 if paired else 1)
         else:
@@ -1435,26 +1142,15 @@ class CarryStep:
     def prepare(self, obstacles):
         """Loop-invariant obstacle forms, computed once outside the loop
         (anything recomputed per step or carried instead costs a pass or
-        a while-carry copy). The ext kernel adds the prebuilt extended
-        obstacle blocks and the forced-row scalar."""
+        a while-carry copy)."""
         obs = self._obs_transform(obstacles)
-        ext_obs = (
-            build_ext_obs(obs, self._by) if self.ext else None
-        )
-        return (obs, obs.astype(jnp.int8), ext_obs)
+        return (obs, obs.astype(jnp.int8), None)
 
     def init(self, cells, prepared):
-        obstacles = prepared[0]
-        return carry_init(self, self._transform_in(cells), obstacles)
+        return carry_init(self, self._transform_in(cells), prepared[0])
 
     def _fused_call(self, cells, firsts, lasts, prepared, dst):
-        _, obs_i8, ext_obs = prepared
-        if self.ext:
-            return _pallas_step_ext(
-                cells, firsts, lasts, ext_obs, self._h - 2,
-                omega_f=self.omega, interpret=_interpret(),
-                accel=self._accel_spec(), depth=self.fused, dst=dst,
-            )
+        _, obs_i8, _ = prepared
         return _pallas_step_fused(
             cells, firsts, lasts, obs_i8, omega_f=self.omega,
             interpret=_interpret(), accel=self._accel_spec(),

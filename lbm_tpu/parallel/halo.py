@@ -129,12 +129,6 @@ class _PallasShardImpl:
         self.fused = (
             fuse if (fuse > 1 and by % 8 == 0 and by >= 2 * fuse) else 1
         )
-        # v7 ext kernel: ring-indexes resident edge entries and takes one
-        # ppermuted seam entry per side — no per-pass rolled edge-array
-        # copies (docs/PERF.md v7; the v6 _halo_edges cost ~10% of a pass).
-        self.ext = (
-            self.fused > 1 and self.fused <= pf.PAD and pf._ext_enabled()
-        )
         if self.fused > 1:
             self.steps_per_call = self.fused * (2 if paired else 1)
         else:
@@ -147,32 +141,12 @@ class _PallasShardImpl:
     def _local_accel_row(self):
         """Shard-local index of the forced row (the reference's
         rank_accelerate remapping, d2q9-bgk.c:498); may be out of local
-        range — the ext kernel tests it modulo the global row count."""
+        range on non-owner shards."""
         d = self.decomp
         my = lax.axis_index(AXIS)
         return np.int32(d.accel_row) - my * np.int32(d.local_ny)
 
-    def _obs_halo(self, obs):
-        """The PAD obstacle rows beyond each local boundary, fetched once
-        (loop-invariant — the v6 kernel shipped these flags in every edge
-        entry every pass instead)."""
-        n = self.decomp.n_shards
-        P = self.pf.PAD
-        top, bottom = obs[-P:, :], obs[:P, :]
-        if n == 1:
-            return top, bottom
-        south = lax.ppermute(top, AXIS, _up_perm(n))
-        north = lax.ppermute(bottom, AXIS, _down_perm(n))
-        return south, north
-
     def prepare(self, obstacles):
-        if self.ext:
-            south, north = self._obs_halo(obstacles)
-            ext_obs = self.pf.build_ext_obs(
-                obstacles, self._by, south, north
-            )
-            return (obstacles, obstacles.astype(jnp.int8), None,
-                    ext_obs, self._local_accel_row())
         d = self.decomp
         rows = jax.lax.broadcasted_iota(
             jnp.int32, (d.local_ny, obstacles.shape[1]), 0
@@ -181,28 +155,17 @@ class _PallasShardImpl:
         return (obstacles, obstacles.astype(jnp.int8), accel_mask)
 
     def init(self, cells, prepared):
-        accel_mask = None if self.ext else prepared[2]
         return self.pf.carry_init(
-            self, cells, prepared[0], accel_mask=accel_mask
+            self, cells, prepared[0], accel_mask=prepared[2]
         )
 
-    def _halo_edges(self, firsts, lasts):
-        """prevs/nexts for this shard: edge entries ppermuted over the
-        ring (the reference's send-down/send-up pair, d2q9-bgk.c:353-382).
-        v6-layout path only — the ext kernel uses :meth:`_halo_seams`."""
-        n = self.decomp.n_shards
-        if n == 1:
-            return jnp.roll(lasts, 1, axis=0), jnp.roll(firsts, -1, axis=0)
-        south_e = lax.ppermute(lasts[-1:], AXIS, _up_perm(n))
-        north_e = lax.ppermute(firsts[:1], AXIS, _down_perm(n))
-        prevs = jnp.concatenate([south_e, lasts[:-1]], axis=0)
-        nexts = jnp.concatenate([firsts[1:], north_e], axis=0)
-        return prevs, nexts
-
     def _halo_seams(self, firsts, lasts):
-        """The two boundary edge entries, ppermuted over the ring — the
-        only per-pass communication; resident entries are ring-indexed
-        by the ext kernel in place."""
+        """The two boundary edge entries, ppermuted over the ring (the
+        reference's send-down/send-up pair, d2q9-bgk.c:353-382) — the
+        only per-pass communication; the kernel ring-indexes the
+        resident entries in place, so the rolled edge-array copies the
+        old sharded path materialised each pass (~10% of a pass at
+        by=128/depth=4) are gone."""
         n = self.decomp.n_shards
         if n == 1:
             return lasts[-1:], firsts[:1]
@@ -215,37 +178,24 @@ class _PallasShardImpl:
 
     def _single_call(self, cells, firsts, lasts, prepared, dst):
         _, obs_i8, accel_mask = prepared
-        prevs, nexts = self._halo_edges(firsts, lasts)
         return self.pf._pallas_step(
-            cells, prevs, nexts, obs_i8,
+            cells, lasts, firsts, obs_i8,
             omega_f=float(self.params.omega),
             interpret=self.pf._interpret(),
             accel=self._accel_spec(),
+            seams=self._halo_seams(firsts, lasts),
             accel_mask=accel_mask, dst=dst,
         )
 
     def _fused_call(self, cells, firsts, lasts, prepared, dst):
-        if self.ext:
-            _, _, _, ext_obs, arow = prepared
-            seams = self._halo_seams(firsts, lasts)
-            return self.pf._pallas_step_ext(
-                cells, firsts, lasts, ext_obs, arow,
-                omega_f=float(self.params.omega),
-                interpret=self.pf._interpret(),
-                accel=self._accel_spec(), depth=self.fused,
-                total_rows=self.decomp.ny, seams=seams, dst=dst,
-            )
         _, obs_i8, accel_mask = prepared
-        prevs, nexts = self._halo_edges(firsts, lasts)
-        # _pallas_step_fused in sharded (ring=False) mode takes the
-        # explicit next entries in the firsts slot and prev entries in
-        # the lasts slot.
         return self.pf._pallas_step_fused(
-            cells, nexts, prevs, obs_i8,
+            cells, firsts, lasts, obs_i8,
             omega_f=float(self.params.omega),
             interpret=self.pf._interpret(),
             accel=self._accel_spec(), depth=self.fused,
-            ring=False, accel_mask=accel_mask, dst=dst,
+            ring=False, seams=self._halo_seams(firsts, lasts),
+            accel_mask=accel_mask, dst=dst,
         )
 
     def step(self, carry, prepared):
@@ -273,14 +223,8 @@ class _TransposedPallasShardImpl(_PallasShardImpl):
 
     def prepare(self, obstacles):
         # obstacles arrive as the local physical block (ny, local_nx).
-        # accel_mask stays None: the forced line is a static lane column
-        # (arow likewise unused by the ext kernel's lanes mode).
+        # accel_mask stays None: the forced line is a static lane column.
         obs_t = obstacles.T
-        if self.ext:
-            south, north = self._obs_halo(obs_t)
-            ext_obs = self.pf.build_ext_obs(obs_t, self._by, south, north)
-            return (obs_t, obs_t.astype(jnp.int8), None,
-                    ext_obs, np.int32(0))
         return (obs_t, obs_t.astype(jnp.int8), None)
 
     def init(self, cells, prepared):

@@ -3,8 +3,8 @@
 Runs bench.bench() in a timeout-guarded subprocess per (grid, env)
 configuration — the measurement rules (untimed first execution, host
 fence, best-of-N) live in bench.py; this script only varies the
-trace-time env knobs (LBM_PALLAS_EXT / LBM_OMEGA_EQ / LBM_PALLAS_DEPTH /
-LBM_PAIRED_EQ) and prints one JSON line per cell. The reference's
+trace-time env knobs (LBM_OMEGA_EQ / LBM_PALLAS_DEPTH / LBM_PAIRED_EQ /
+LBM_PALLAS_SLOT_BYTES) and prints one JSON line per cell. The reference's
 analogue is its per-version benchmark tables (report_openmp/report.tex).
 
 Usage: python scripts/ab_kernel.py [config ...]
@@ -22,15 +22,12 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULTS = [
-    ("1024sq-v6", 1024, 1024, 2000, {"LBM_PALLAS_EXT": "0", "LBM_OMEGA_EQ": "0"}),
-    ("1024sq-v7", 1024, 1024, 2000, {"LBM_PALLAS_EXT": "1", "LBM_OMEGA_EQ": "0"}),
-    ("1024sq-v7w", 1024, 1024, 2000, {"LBM_PALLAS_EXT": "1", "LBM_OMEGA_EQ": "1"}),
-    ("16k-v6", 16384, 1024, 2000, {"LBM_PALLAS_EXT": "0", "LBM_OMEGA_EQ": "0"}),
-    ("16k-v7", 16384, 1024, 2000, {"LBM_PALLAS_EXT": "1", "LBM_OMEGA_EQ": "0"}),
-    ("16k-v7w", 16384, 1024, 2000, {"LBM_PALLAS_EXT": "1", "LBM_OMEGA_EQ": "1"}),
-    ("131k-v6", 131072, 128, 2000, {"LBM_PALLAS_EXT": "0", "LBM_OMEGA_EQ": "0"}),
-    ("131k-v7", 131072, 128, 2000, {"LBM_PALLAS_EXT": "1", "LBM_OMEGA_EQ": "0"}),
-    ("131k-v7w", 131072, 128, 2000, {"LBM_PALLAS_EXT": "1", "LBM_OMEGA_EQ": "1"}),
+    ("1024sq-base", 1024, 1024, 2000, {"LBM_OMEGA_EQ": "0"}),
+    ("1024sq-omega", 1024, 1024, 2000, {"LBM_OMEGA_EQ": "1"}),
+    ("16k-base", 16384, 1024, 2000, {"LBM_OMEGA_EQ": "0"}),
+    ("16k-omega", 16384, 1024, 2000, {"LBM_OMEGA_EQ": "1"}),
+    ("131k-base", 131072, 128, 2000, {"LBM_OMEGA_EQ": "0"}),
+    ("131k-omega", 131072, 128, 2000, {"LBM_OMEGA_EQ": "1"}),
 ]
 
 

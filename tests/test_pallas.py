@@ -355,24 +355,6 @@ def test_depth8_opt_in_matches_reference(monkeypatch):
     np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
 
 
-def test_v6_kernel_optout_matches_reference(monkeypatch):
-    """LBM_PALLAS_EXT=0 selects the v6 carried-edge fused kernel (kept
-    for A/B measurement); it must stay correct alongside the v7 ext
-    default, single-chip and sharded."""
-    from lbm_tpu.runner import run_simulation, _select_impl
-
-    monkeypatch.setenv("LBM_PALLAS_EXT", "0")
-    monkeypatch.setenv("LBM_PALLAS_DEPTH", "4")
-    p = small_params(ny=32, nx=32, max_iters=12)
-    impl = _select_impl("pallas", p, paired=True, n_iters=12)
-    assert impl.fused == 4 and not impl.ext
-    obstacles = generate_obstacles(p.nx, p.ny)
-    base = run_simulation(p, obstacles, kernel="reference")
-    got = run_simulation(p, obstacles, kernel="pallas")
-    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
-    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
-
-
 def test_omega_absorbed_equilibrium_optout(monkeypatch):
     """The omega-absorbed relax (LBM_OMEGA_EQ, default on) is a pure
     f32 reassociation: opting out restores the v6 association, and both
