@@ -862,14 +862,16 @@ def _kernel_fused(
             U_obs = U_obs[0 : m - 1]
             T_line = T_line[1:m]
             U_line = U_line[0 : m - 1]
-            # planes-only update: the boundary rows' tot_u is never
-            # counted (owned rows only), so skip its sqrt+reduce.
-            T, _ = _bgk_update_planes(
-                t_src, T_obs > np.float32(0.5), omega
-            )
-            U, _ = _bgk_update_planes(
-                u_src, U_obs > np.float32(0.5), omega
-            )
+            # One planes-only update over the CONCATENATED T+U stacks:
+            # both are (m-1, nx), so separate updates would each pay a
+            # full 8-sublane vreg row — merging halves that padding
+            # waste, and the boundary rows' tot_u is never counted
+            # (owned rows only) so the sqrt+reduce is skipped.
+            tu_src = [_cat_rows(t_src[k], u_src[k]) for k in range(Q)]
+            tu_obs = _cat_rows(T_obs, U_obs) > np.float32(0.5)
+            TU, _ = _bgk_update_planes(tu_src, tu_obs, omega)
+            T = [TU[k][0 : m - 1] for k in range(Q)]
+            U = [TU[k][m - 1 :] for k in range(Q)]
         body = [new[k] for k in range(Q)]
 
     out_ref[:] = new
@@ -1236,22 +1238,29 @@ def supports_tpu_grid(ny: int, nx: int) -> bool:
     return h % 8 == 0 and by % 8 == 0
 
 
-def _depth_preference(ny: int, nx: int) -> list[int]:
-    """Fusion depths to try, most-preferred first.
+def _depth_preference(rows: int, lanes: int) -> list[int]:
+    """Fusion depths to try, most-preferred first, for an execution
+    layout of ``rows`` x ``lanes`` (post-transpose for wide grids).
 
     ``LBM_PALLAS_DEPTH`` pins the maximum (and most preferred) depth.
-    Otherwise the preference is size-aware (measured on v5e,
-    docs/PERF.md v6): chip-resident states (<= ~50 MB per lattice
-    buffer, e.g. 1024x1024 = 37.7 MB) run ~2.5% faster at depth 2,
-    while larger states are HBM-bound and want depth 4's traffic cut.
-    Depth 8 never wins (in-register pipelines spill) so it is opt-in.
+    Otherwise the preference is size- and shape-aware (measured on v5e,
+    docs/PERF.md v6/v6.5): chip-resident states (<= ~50 MB per lattice
+    buffer, e.g. 1024x1024 = 37.7 MB) run ~3% faster at depth 2;
+    larger states are HBM-bound and want depth 4's traffic cut; and
+    large NARROW-lane layouts (lanes <= 128 — the transposed 131072x128
+    stress shape) go one further: depth 8 measures 28.4 vs 27.1 GLUPS
+    there since v6.5 cut the per-stage VPU work, while on 1024-lane
+    layouts depth 8 still loses to register pressure (23.8 vs 24.1 at
+    16384x1024).
     """
     env = os.environ.get("LBM_PALLAS_DEPTH")
     if env is not None:
         dmax = int(env)
         return [d for d in (8, 4, 2) if d <= dmax]
-    if 9 * ny * nx * 4 <= 50_000_000:
+    if 9 * rows * lanes * 4 <= 50_000_000:
         return [2, 4]
+    if lanes <= 128:
+        return [8, 4, 2]
     return [4, 2]
 
 
@@ -1280,18 +1289,23 @@ def plan_split(iters: int, probes) -> tuple[int, int, object | None]:
     return iters, 0, None
 
 
+def _layout(params: Params):
+    """(impl class, rows, lanes) of the preferred execution layout:
+    transposed for wide grids, physical otherwise."""
+    ny, nx = params.ny, params.nx
+    if nx >= 2 * ny and nx % 8 == 0:
+        return TransposedCarryStep, nx, ny
+    return CarryStep, ny, nx
+
+
 def plan_iters(params: Params, iters: int) -> tuple[int, int]:
     """Single-device :func:`plan_split`: ``(main, tail)`` for the
     grid's preferred execution layout and depth preference."""
-    ny, nx = params.ny, params.nx
-    cls = (
-        TransposedCarryStep
-        if nx >= 2 * ny and nx % 8 == 0
-        else CarryStep
-    )
+    cls, rows, lanes = _layout(params)
     main, tail, _ = plan_split(
         iters,
-        (cls(params, paired=True, fuse=d) for d in _depth_preference(ny, nx)),
+        (cls(params, paired=True, fuse=d)
+         for d in _depth_preference(rows, lanes)),
     )
     return main, tail
 
@@ -1304,13 +1318,9 @@ def make_carry_step(params: Params, ny: int, nx: int, paired: bool = True,
     (:func:`_depth_preference`); the first preference the iteration
     count and block geometry allow wins (every official scene's
     maxIters divides by 4)."""
-    cls = (
-        TransposedCarryStep
-        if nx >= 2 * ny and nx % 8 == 0
-        else CarryStep
-    )
+    cls, rows, lanes = _layout(params)
     if n_iters is not None:
-        for d in _depth_preference(ny, nx):
+        for d in _depth_preference(rows, lanes):
             if n_iters % d == 0:
                 impl = cls(params, paired=paired and n_iters % (2 * d) == 0,
                            fuse=d)

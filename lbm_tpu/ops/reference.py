@@ -49,12 +49,15 @@ def _omega_eq_enabled() -> bool:
     """Omega-absorbed relaxation: fold omega into the equilibrium weights
     at trace time (feqw = omega*feq term by term via scaled w constants)
     so the BGK relax becomes one fma ``new = s*(1-omega) + feqw`` instead
-    of ``s + omega*(feq - s)`` — 9 fewer VPU ops per cell. Algebraically
-    identical to d2q9-bgk.c:325-333; a further f32 reassociation on top
-    of the paired form (drift budget measured per scene by
-    scripts/validate_scenes.py, docs/PERF.md v7). Applies only to the
-    paired f32 form; LBM_OMEGA_EQ=0 opts out."""
-    return os.environ.get("LBM_OMEGA_EQ", "1") not in ("0", "", "false")
+    of ``s + omega*(feq - s)``. Algebraically identical to
+    d2q9-bgk.c:325-333 (a further f32 reassociation on top of the paired
+    form), and 9 fewer nominal VPU ops per cell — but MEASURED SLOWER on
+    the chip everywhere (2000-iter marginals: 1024² 16.36 vs 17.12,
+    16384x1024 22.33 vs 24.13, 131072x128 26.41 vs 27.08 — the
+    non-absorbed form evidently schedules into better fma chains), so
+    the default is OFF; LBM_OMEGA_EQ=1 opts in. Applies only to the
+    paired f32 form. See docs/PERF.md v6.5."""
+    return os.environ.get("LBM_OMEGA_EQ", "0") not in ("0", "", "false")
 
 def _accel_delta(w1, w2) -> jnp.ndarray:
     """Per-speed forcing deltas: +w1/-w1 on axis speeds 1/3, +w2 on
