@@ -86,16 +86,19 @@ def summarise(tracedir: str, top: int = 25) -> dict:
          for (p, n), (d, c) in agg.items()),
         key=lambda r: -r["total_us"],
     )
-    device_total = sum(
-        r["total_us"] for r in rows
-        if "TPU" in r["process"] or "/device" in r["process"].lower()
-    )
-    for r in rows:
+    # The gprof-flat-profile analogue is the DEVICE rows; host rows are
+    # wrappers (fences, dispatch) and only useful as context.
+    is_dev = lambda r: "TPU" in r["process"] or "/device" in r["process"].lower()
+    dev = [r for r in rows if is_dev(r)]
+    host = [r for r in rows if not is_dev(r)]
+    device_total = sum(r["total_us"] for r in dev)
+    for r in dev:
         r["pct_device"] = (
-            round(100 * r["total_us"] / device_total, 2) if device_total else None
+            round(100 * r["total_us"] / device_total, 2)
+            if device_total else None
         )
     return {"trace_file": path, "device_total_us": round(device_total, 1),
-            "ops": rows[:top]}
+            "ops": dev[:top] or rows[:top], "host_context": host[:8]}
 
 
 def main() -> int:
@@ -118,7 +121,7 @@ def main() -> int:
     for r in report["ops"]:
         print(f"{r['process'][:27]:<28} {r['op'][:43]:<44} "
               f"{r['total_us']:>10.1f} {r['count']:>7} "
-              f"{(r['pct_device'] if r['pct_device'] is not None else 0):>6.2f}")
+              f"{(r.get('pct_device') or 0):>6.2f}")
     return 0
 
 
