@@ -1256,7 +1256,7 @@ def _depth_preference(rows: int, lanes: int) -> list[int]:
     env = os.environ.get("LBM_PALLAS_DEPTH")
     if env is not None:
         dmax = int(env)
-        return [d for d in (8, 4, 2) if d <= dmax]
+        return [d for d in (16, 8, 4, 2) if d <= dmax]
     if 9 * rows * lanes * 4 <= 50_000_000:
         return [2, 4]
     if lanes <= 128:
