@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Measure the sharded program's hardware overhead on a 1-device mesh.
+
+The weak-scaling model (scripts/weak_scaling_model.py) prices the seam
+ppermute traffic against ICI; what it cannot price is the CPU-side
+wrapper and the kernel-structure difference between the unsharded
+production kernel and its shard_map twin (seam edge entries arrive as
+separate DMA sources instead of resident ring slots). A 1-device mesh
+runs the full sharded program — shard_map, self-ppermute, seam-entry
+kernel — on the real chip, so (sharded − unsharded) marginal time IS
+that overhead, measured end to end. The reference's analogue is its
+measured 23% halo cost at 112 ranks (report_mpi/report.tex:164-165);
+here the 1-shard structural overhead bounds what any shard count pays
+before real neighbour traffic starts.
+
+Usage: python scripts/sharded_overhead.py [-o docs/artifacts/sharded_overhead.json]
+       [--iters 2000] [--repeats 3]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+
+def measure(nx, ny, iters, repeats, sharded):
+    import jax
+    import jax.numpy as jnp
+
+    from lbm_tpu.obstacles import generate_obstacles, num_non_obstacles_r
+    from lbm_tpu.params import Params
+    from lbm_tpu.state import initial_state
+
+    params = Params(nx=nx, ny=ny, max_iters=iters, reynolds_dim=10,
+                    density=np.float32(0.1), accel=np.float32(0.01),
+                    omega=np.float32(1.85))
+    obstacles = generate_obstacles(nx, ny)
+    inv = num_non_obstacles_r(obstacles)
+    obs_dev = jnp.asarray(obstacles)
+    cells0 = initial_state(params)
+
+    if sharded:
+        from lbm_tpu.parallel.decomp import make_mesh
+        from lbm_tpu.parallel.halo import make_sharded_simulate, shard_inputs
+
+        mesh = make_mesh(1)
+        simulate = make_sharded_simulate(params, mesh, kernel="pallas")
+        cells0, obs_dev = shard_inputs(
+            mesh, cells0, obs_dev, params=params, kernel="pallas"
+        )
+    else:
+        from lbm_tpu.runner import make_simulate
+
+        simulate = make_simulate(params, kernel="pallas")
+
+    def fresh_state():
+        # The compiled program donates the lattice buffer — every call
+        # needs a fresh (and, for the sharded twin, resharded) state.
+        cells = initial_state(params)
+        if sharded:
+            cells, _ = shard_inputs(mesh, cells, obs_dev, params=params,
+                                    kernel="pallas")
+        return cells
+
+    compiled = simulate.lower(cells0, obs_dev, inv).compile()
+    c, a = compiled(cells0, obs_dev, inv)
+    np.asarray(a)  # untimed first execution (program-load overhead)
+
+    best = float("inf")
+    for _ in range(repeats):
+        cells = fresh_state()
+        jax.block_until_ready(cells)
+        t0 = time.perf_counter()
+        c, a = compiled(cells, obs_dev, inv)
+        np.asarray(a)
+        best = min(best, time.perf_counter() - t0)
+    return best, nx * ny * iters / best / 1e9
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-o", "--output",
+                   default="docs/artifacts/sharded_overhead.json")
+    p.add_argument("--iters", type=int, default=2000)
+    p.add_argument("--repeats", type=int, default=3)
+    args = p.parse_args(argv)
+
+    import jax
+
+    results = {"backend": jax.default_backend(),
+               "iters": args.iters,
+               "method": "1-device-mesh sharded program vs unsharded, "
+                         "2000-iter marginals, best of repeats",
+               "cases": []}
+    for nx, ny in ((1024, 1024), (16384, 1024)):
+        row = {"grid": f"{nx}x{ny}"}
+        try:
+            s_solo, g_solo = measure(nx, ny, args.iters, args.repeats,
+                                     sharded=False)
+            s_shard, g_shard = measure(nx, ny, args.iters, args.repeats,
+                                       sharded=True)
+            row.update({
+                "unsharded_glups": g_solo, "sharded_1dev_glups": g_shard,
+                "overhead_pct": 100.0 * (s_shard - s_solo) / s_solo,
+            })
+        except Exception as exc:  # noqa: BLE001 — recorded, not hidden
+            row["error"] = repr(exc)[:500]
+        results["cases"].append(row)
+    out = Path(args.output)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(results, indent=2) + "\n")
+    print(json.dumps(results, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

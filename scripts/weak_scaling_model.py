@@ -5,7 +5,7 @@ compute at 112 ranks" (report_mpi/report.tex:164-165), built from the
 program's actual per-step traffic instead of cluster measurements (no
 multi-chip hardware is attached; every constant is stated below).
 
-Per fused pass (depth D=4 on these states) each shard exchanges its
+Per fused pass (depth D per the shape-aware schedule) each shard exchanges its
 two D-deep boundary edge-array stacks by ppermute: 2 directions x
 QP(16) x D channels x L lanes x 4 B, once per D steps. Since the
 round-3 seam halo (halo._halo_seams + in-kernel ring indexing of
@@ -34,32 +34,32 @@ from pathlib import Path
 ICI_GBPS = 90  # one v5e ICI link direction, conservative
 ICI_LAT_US = 2.0  # per-ppermute launch/latency allowance
 QP = 16  # edge-entry channels per row (speeds 9 + flags, padded)
-DEPTH = 4  # temporal-fusion depth on these states (docs/PERF.md v6)
-
-# (name, per-shard rows on the sharded axis, lanes, measured v6 GLUPS)
+# (name, per-shard rows on the sharded axis, lanes, measured v6.5 GLUPS,
+# fusion depth the schedule selects for that shape — docs/PERF.md v6.5)
 # — per-chip shard of the stress grids under the production sharding
 # plan (wide grids shard transposed physical x; lanes = the other
 # dimension). GLUPS from the official single-chip bench (docs/PERF.md);
 # using the measured rate makes the model as halo-sensitive as the real
 # program, rather than hiding halo time under a bandwidth bound.
 SHARDS = [
-    ("16384x1024 per chip", 16384, 1024, 23.06),
-    ("131072x128 per chip", 131072, 128, 27.71),
+    ("16384x1024 per chip", 16384, 1024, 24.11, 4),
+    ("131072x128 per chip", 131072, 128, 28.34, 8),
 ]
 
 
-def model(rows: int, lanes: int, glups: float, n: int) -> dict:
+def model(rows: int, lanes: int, glups: float, n: int, depth: int) -> dict:
     cells = rows * lanes
     t_comp = cells / (glups * 1e9)  # seconds per step, measured
     if n == 1:
         t_halo = 0.0
     else:
         # One exchange of the D-deep edge stacks per fused pass,
-        # amortised over the D steps the pass advances.
-        halo_bytes = 2 * QP * DEPTH * lanes * 4
+        # amortised over the D steps the pass advances (D cancels in the
+        # bandwidth term; latency amortises by 1/D).
+        halo_bytes = 2 * QP * depth * lanes * 4
         t_halo = (
             halo_bytes / (ICI_GBPS * 1e9) + 2 * ICI_LAT_US * 1e-6
-        ) / DEPTH
+        ) / depth
     return {
         "devices": n,
         "t_compute_us": t_comp * 1e6,
@@ -80,14 +80,15 @@ def main(argv=None):
     results = {
         "model": {
             "ici_gbps": ICI_GBPS, "ici_latency_us": ICI_LAT_US,
-            "edge_channels": QP, "fusion_depth": DEPTH,
-            "compute": "measured v6 single-chip GLUPS (docs/PERF.md)",
+            "edge_channels": QP,
+            "fusion_depth": {n: d for n, _, _, _, d in SHARDS},
+            "compute": "measured v6.5 single-chip GLUPS (docs/PERF.md)",
         },
         "reference_halo_fraction": 0.23,  # report_mpi/report.tex:164-165
         "grids": {},
     }
-    for name, rows, lanes, glups in SHARDS:
-        rows_n = [model(rows, lanes, glups, n) for n in devices]
+    for name, rows, lanes, glups, depth in SHARDS:
+        rows_n = [model(rows, lanes, glups, n, depth) for n in devices]
         results["grids"][name] = rows_n
         for r in rows_n:
             print(f"{name} n={r['devices']}: compute {r['t_compute_us']:.0f} us, "
@@ -104,7 +105,7 @@ def main(argv=None):
 
     fig, ax = plt.subplots(figsize=(6.4, 4.0), dpi=150)
     colors = ["#2a78d6", "#eb6834"]  # categorical slots 1-2
-    for (name, _, _, _), color in zip(SHARDS, colors):
+    for (name, *_), color in zip(SHARDS, colors):
         rows_n = results["grids"][name]
         xs = [r["devices"] for r in rows_n]
         ys = [r["efficiency"] for r in rows_n]

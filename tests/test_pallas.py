@@ -1,6 +1,8 @@
 """Pallas fused kernel vs the portable jnp reference (interpret mode on
 CPU; compiled on real TPU)."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -355,8 +357,50 @@ def test_depth8_opt_in_matches_reference(monkeypatch):
     np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
 
 
+def test_depth16_selection(monkeypatch):
+    """Depth 16 is reachable behind LBM_PALLAS_DEPTH (measured 12.5%
+    slower than depth 8 at 131072x128 on v5e — docs/PERF.md headroom #3 —
+    so never a default) and by < 2*depth demotes. Correctness at 16 is
+    proven on hardware (av_vels bit-identical to depth 8 over 2000 steps
+    at 131072x128) and opt-in in interpret mode below — the O(depth²)
+    boundary-stack trace makes the interpret run ~15 min, too slow for
+    the default suite."""
+    from lbm_tpu.ops.pallas_fused import _depth_preference, CarryStep
+    from lbm_tpu.runner import _select_impl
+
+    monkeypatch.setenv("LBM_PALLAS_DEPTH", "16")
+    assert _depth_preference(131072, 128) == [16, 8, 4, 2]
+    monkeypatch.setenv("LBM_PALLAS_DEPTH", "8")
+    assert _depth_preference(131072, 128) == [8, 4, 2]
+    monkeypatch.setenv("LBM_PALLAS_DEPTH", "16")
+
+    impl = _select_impl("pallas", small_params(ny=32, nx=32, max_iters=32),
+                        paired=True, n_iters=32)
+    assert impl.fused == 16 and impl.steps_per_call == 32
+    # A 16-row-block grid can't hold a 16-deep fused pass (by >= 2*depth).
+    assert CarryStep(small_params(ny=16, nx=32), fuse=16).fused == 1
+
+
+@pytest.mark.skipif(not os.environ.get("LBM_RUN_SLOW"),
+                    reason="~15 min interpret trace; set LBM_RUN_SLOW=1")
+def test_depth16_opt_in_matches_reference(monkeypatch):
+    """Full interpret equivalence at depth 16 (opt-in, see above)."""
+    from lbm_tpu.runner import run_simulation, _select_impl
+
+    monkeypatch.setenv("LBM_PALLAS_DEPTH", "16")
+    p = small_params(ny=32, nx=32, max_iters=32)
+    impl = _select_impl("pallas", p, paired=True, n_iters=32)
+    assert impl.fused == 16 and impl.steps_per_call == 32
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas")
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+
+
 def test_omega_absorbed_equilibrium_optout(monkeypatch):
-    """The omega-absorbed relax (LBM_OMEGA_EQ, default on) is a pure
+    """The omega-absorbed relax (LBM_OMEGA_EQ=1 opt-in; default off,
+    measured -4..-7% on TPU — docs/PERF.md) is a pure
     f32 reassociation: opting out restores the v6 association, and both
     settings track the reference-kernel trajectory."""
     from lbm_tpu.runner import run_simulation
