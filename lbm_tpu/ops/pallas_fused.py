@@ -1300,8 +1300,24 @@ def _layout(params: Params):
 
 def plan_iters(params: Params, iters: int) -> tuple[int, int]:
     """Single-device :func:`plan_split`: ``(main, tail)`` for the
-    grid's preferred execution layout and depth preference."""
+    grid's preferred execution layout and depth preference. When the
+    state qualifies for the VMEM-resident kernel
+    (:mod:`lbm_tpu.ops.pallas_resident`) the plan is cut at resident
+    granularities instead: a step count some preferred G divides runs
+    as one resident segment, anything else as a resident main segment
+    plus a short tail (which re-plans recursively through
+    make_carry_step — smaller resident G, or the fused/blocked path for
+    odd remainders)."""
     cls, rows, lanes = _layout(params)
+    from lbm_tpu.ops import pallas_resident as pr
+
+    prefs = pr.resident_prefs(rows, lanes)
+    if prefs and iters > 0:
+        if pr.resident_gsteps(rows, lanes, iters):
+            return iters, 0
+        main = iters - iters % prefs[0]
+        if main:
+            return main, iters % prefs[0]
     main, tail, _ = plan_split(
         iters,
         (cls(params, paired=True, fuse=d)
@@ -1317,8 +1333,21 @@ def make_carry_step(params: Params, ny: int, nx: int, paired: bool = True,
     per-step HBM traffic by D. The preferred depth is size-aware
     (:func:`_depth_preference`); the first preference the iteration
     count and block geometry allow wins (every official scene's
-    maxIters divides by 4)."""
+    maxIters divides by 4). Chip-resident states short-circuit to the
+    VMEM-resident kernel first (lbm_tpu/ops/pallas_resident.py) — its
+    eligibility and granularity rules mirror :func:`plan_iters`, so
+    planner and impl selection always agree."""
     cls, rows, lanes = _layout(params)
+    from lbm_tpu.ops import pallas_resident as pr
+
+    g = pr.resident_gsteps(rows, lanes, n_iters)
+    if g:
+        rcls = (
+            pr.TransposedResidentStep
+            if cls is TransposedCarryStep
+            else pr.ResidentStep
+        )
+        return rcls(params, g)
     if n_iters is not None:
         for d in _depth_preference(rows, lanes):
             if n_iters % d == 0:
