@@ -211,7 +211,7 @@ def _pallas_resident(cells, obs_i8, *, omega_f, interpret, accel, gsteps):
             # Two resident state buffers + the whole int8 mask + block
             # working-set slack.
             vmem_limit_bytes=min(
-                _VMEM_CAP, 2 * state_bytes + h * nx + (12 << 20)
+                _VMEM_CAP, 2 * state_bytes + h * nx + (24 << 20)
             ),
         ),
         cost_estimate=pl.CostEstimate(
@@ -242,7 +242,13 @@ def resident_prefs(rows: int, lanes: int) -> tuple[int, ...] | None:
     if env is None and jax.default_backend() != "tpu":
         return None
     state_bytes = Q * rows * lanes * 4
-    if 2 * state_bytes + rows * lanes + (12 << 20) > _VMEM_CAP:
+    # Tiny states are per-step-latency-bound and measure slightly FASTER
+    # on the blocked kernel (128² −14%, 256² −3%, but 512² +11% and
+    # 1024² +19% resident — docs/PERF.md v8), so automatic selection
+    # needs a floor; LBM_RESIDENT=1 bypasses it (tests, re-measurement).
+    if env is None and state_bytes < (4 << 20):
+        return None
+    if 2 * state_bytes + rows * lanes + (24 << 20) > _VMEM_CAP:
         return None
     by = _pick_block_rows(rows, lanes)
     if rows % 8 or by % 8 or rows % by:
