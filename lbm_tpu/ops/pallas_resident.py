@@ -69,16 +69,20 @@ def _kernel_resident(
     obs_ref,  # (H, nx) VMEM int8 mask (whole array)
     out_ref,  # (9, H, nx) ANY/HBM output
     tot_ref,  # (1, G) SMEM: per-step |u| sums
-    buf_a,  # (9, H, nx) VMEM scratch (state at even steps)
-    buf_b,  # (9, H, nx) VMEM scratch (state at odd steps)
-    sem,  # DMA semaphore for the boundary copies
-    *,
+    buf_a,  # (9, H, nx) VMEM scratch (state at even steps / the only
+    #          buffer in in-place mode)
+    *rest,  # double mode: buf_b (odd-step state), sem; in-place: sem
     by: int,
     h: int,
     omega: np.float32,
     accel: AccelSpec,
     gsteps: int,
+    inplace: bool,
 ):
+    if inplace:
+        (sem,) = rest
+    else:
+        buf_b, sem = rest
     nx = out_ref.shape[-1]
     n_blocks = h // by
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (by, nx), 0)
@@ -158,19 +162,84 @@ def _kernel_resident(
             tot = t if tot is None else tot + t
         tot_ref[0, idx] = tot
 
-    # --- G steps as gsteps//2 A->B->A pairs (the pointer swap of
-    # d2q9-bgk.c:196 as buffer parity; G is even by construction) --------
-    def pair(i, carry):
-        one_step(buf_a, buf_b, 2 * i)
-        one_step(buf_b, buf_a, 2 * i + 1)
-        return carry
+    def one_step_inplace(buf, idx):
+        """One timestep updating ``buf`` in place (single resident
+        buffer — for states whose TWO buffers don't fit VMEM). No
+        stash memory is needed: block b+1's south neighbour is block
+        b's OLD last row, which block b just loaded as part of its
+        body — carry it across the (unrolled) block loop in registers;
+        only the pre-step row 0 needs saving for the last block's
+        periodic wrap. This is the register-carry analogue of the
+        blocked kernel's carried edge-row arrays."""
+        if accel.axis == 0:
+            accelerate_in_place(buf)
+        # Block 0's south neighbour: the (untouched) pre-step last row.
+        prev_a = [buf[k, h - 1 : h, :] for k in range(Q)]
+        if accel.axis == 1:
+            fluid_w = one - (obs_ref[h - 1 : h, :] != 0).astype(jnp.float32)
+            prev_a = lane_accel(prev_a, fluid_w, lane1)
+        saved0 = None
+        tot = None
+        for b in range(n_blocks):
+            r0 = b * by
+            rn = r0 + by
+            body = [buf[k, r0 : r0 + by, :] for k in range(Q)]
+            obstacles = obs_ref[r0 : r0 + by, :] != 0
+            if accel.axis == 1:
+                fluid_b = one - obstacles.astype(jnp.float32)
+                body = lane_accel(body, fluid_b, lane_blk)
+            if b == 0:
+                saved0 = [body[k][0:1, :] for k in range(Q)]
+            if b < n_blocks - 1:
+                next_a = [buf[k, rn : rn + 1, :] for k in range(Q)]
+                if accel.axis == 1:
+                    fluid_n = one - (
+                        obs_ref[rn : rn + 1, :] != 0
+                    ).astype(jnp.float32)
+                    next_a = lane_accel(next_a, fluid_n, lane1)
+            else:
+                next_a = saved0  # periodic wrap: pre-step row 0
+            streamed = _pull_interior(body, prev_a, next_a, row_ids, by, nx)
+            new, t = _bgk_update(streamed, obstacles, omega)
+            # Old last row, already accelerated — the next block's south
+            # neighbour; take it from registers BEFORE the overwrite.
+            prev_a = [body[k][by - 1 : by, :] for k in range(Q)]
+            buf[:, r0 : r0 + by, :] = new
+            tot = t if tot is None else tot + t
+        tot_ref[0, idx] = tot
 
-    lax.fori_loop(0, gsteps // 2, pair, 0)
+    if inplace:
+        def step_i(i, carry):
+            one_step_inplace(buf_a, i)
+            return carry
+
+        lax.fori_loop(0, gsteps, step_i, 0)
+        final = buf_a
+    else:
+        # --- G steps as gsteps//2 A->B->A pairs (the pointer swap of
+        # d2q9-bgk.c:196 as buffer parity; G is even by construction) ----
+        def pair(i, carry):
+            one_step(buf_a, buf_b, 2 * i)
+            one_step(buf_b, buf_a, 2 * i + 1)
+            return carry
+
+        lax.fori_loop(0, gsteps // 2, pair, 0)
+        final = buf_a
 
     # --- whole-state copy-out --------------------------------------------
-    cp_out = pltpu.make_async_copy(buf_a, out_ref, sem)
+    cp_out = pltpu.make_async_copy(final, out_ref, sem)
     cp_out.start()
     cp_out.wait()
+
+
+def _inplace_mode(state_bytes: int, mask_bytes: int) -> bool:
+    """Single-buffer in-place stepping when two resident buffers don't
+    fit the scoped-VMEM ceiling (extends residency up to ~75 MB states,
+    e.g. 2048x1024); LBM_RESIDENT_INPLACE=1/0 forces for A/B."""
+    env = os.environ.get("LBM_RESIDENT_INPLACE")
+    if env is not None:
+        return env not in ("0", "", "false")
+    return 2 * state_bytes + mask_bytes + (24 << 20) > _VMEM_CAP
 
 
 def _pallas_resident(cells, obs_i8, *, omega_f, interpret, accel, gsteps):
@@ -180,14 +249,17 @@ def _pallas_resident(cells, obs_i8, *, omega_f, interpret, accel, gsteps):
     output (alias 0->0), so a stepping loop's carry slot keeps one
     fixed HBM buffer."""
     q, h, nx = cells.shape
-    assert gsteps >= 2 and gsteps % 2 == 0, gsteps
     by = _pick_block_rows(h, nx)
     assert h % by == 0
+    state_bytes = q * h * nx * 4
+    inplace = _inplace_mode(state_bytes, h * nx)
+    assert gsteps >= 1 and (inplace or gsteps % 2 == 0), gsteps
     kernel = functools.partial(
         _kernel_resident, by=by, h=h, omega=np.float32(omega_f),
-        accel=accel, gsteps=gsteps,
+        accel=accel, gsteps=gsteps, inplace=inplace,
     )
-    state_bytes = q * h * nx * 4
+    n_bufs = 1 if inplace else 2
+    scratch = [pltpu.VMEM((q, h, nx), jnp.float32)] * n_bufs
     new, tot = pl.pallas_call(
         kernel,
         in_specs=[
@@ -202,16 +274,12 @@ def _pallas_resident(cells, obs_i8, *, omega_f, interpret, accel, gsteps):
             jax.ShapeDtypeStruct((q, h, nx), jnp.float32),
             jax.ShapeDtypeStruct((1, gsteps), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((q, h, nx), jnp.float32),
-            pltpu.VMEM((q, h, nx), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch + [pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
-            # Two resident state buffers + the whole int8 mask + block
+            # The resident state buffer(s) + the whole int8 mask + block
             # working-set slack.
             vmem_limit_bytes=min(
-                _VMEM_CAP, 2 * state_bytes + h * nx + (24 << 20)
+                _VMEM_CAP, n_bufs * state_bytes + h * nx + (24 << 20)
             ),
         ),
         cost_estimate=pl.CostEstimate(
@@ -248,7 +316,8 @@ def resident_prefs(rows: int, lanes: int) -> tuple[int, ...] | None:
     # needs a floor; LBM_RESIDENT=1 bypasses it (tests, re-measurement).
     if env is None and state_bytes < (4 << 20):
         return None
-    if 2 * state_bytes + rows * lanes + (24 << 20) > _VMEM_CAP:
+    n_bufs = 1 if _inplace_mode(state_bytes, rows * lanes) else 2
+    if n_bufs * state_bytes + rows * lanes + (24 << 20) > _VMEM_CAP:
         return None
     by = _pick_block_rows(rows, lanes)
     if rows % 8 or by % 8 or rows % by:

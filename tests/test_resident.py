@@ -137,6 +137,42 @@ def test_resident_random_obstacles_random_state():
                    np.asarray(want_tots, dtype=np.float32))
 
 
+def test_resident_inplace_matches_reference(monkeypatch):
+    """Single-buffer in-place mode (LBM_RESIDENT_INPLACE=1; the
+    automatic path for states whose two buffers exceed VMEM, e.g.
+    2048x1024): multi-block with the register-carried old-edge rows,
+    an odd step count (legal without buffer parity), the by=2 forced
+    block-edge row, and the transposed layout."""
+    from lbm_tpu.ops.pallas_resident import (
+        ResidentStep,
+        TransposedResidentStep,
+    )
+
+    monkeypatch.setenv("LBM_RESIDENT_INPLACE", "1")
+
+    monkeypatch.setattr(pf, "_SLOT_BYTES", 8 * 9 * 64 * 4)  # by=8
+    p = small_params(ny=32, nx=64, max_iters=6)
+    obstacles = jnp.asarray(generate_obstacles(p.nx, p.ny))
+    for n in (6, 5):  # even and odd step counts
+        got, tots = run_impl(ResidentStep(p, n), p, obstacles)
+        want, want_tots = reference_trajectory(p, obstacles, n)
+        assert_matches(got, tots, want, want_tots)
+
+    monkeypatch.setattr(pf, "_SLOT_BYTES", 2 * 9 * 64 * 4)  # by=2
+    p2 = small_params(ny=6, nx=64, max_iters=4)
+    obs2 = jnp.asarray(generate_obstacles(p2.nx, p2.ny))
+    got, tots = run_impl(ResidentStep(p2, 4), p2, obs2)
+    want, want_tots = reference_trajectory(p2, obs2, 4)
+    assert_matches(got, tots, want, want_tots)
+
+    monkeypatch.setattr(pf, "_SLOT_BYTES", 6 * 1024 * 1024)
+    p3 = small_params(ny=32, nx=128, max_iters=4)
+    obs3 = jnp.asarray(generate_obstacles(p3.nx, p3.ny))
+    got, tots = run_impl(TransposedResidentStep(p3, 4), p3, obs3)
+    want, want_tots = reference_trajectory(p3, obs3, 4)
+    assert_matches(got, tots, want, want_tots)
+
+
 def test_resident_selection_and_planning(monkeypatch):
     """Gating: off by default on CPU; LBM_RESIDENT=1 selects it when a
     preferred G divides the step count; planner and selector agree on
