@@ -141,10 +141,10 @@ def _kernel_resident(
             r0 = b * by
             rp = (r0 - 1) % h
             rn = (r0 + by) % h
+            obstacles = obs_ref[r0 : r0 + by, :] != 0
             body = [src[k, r0 : r0 + by, :] for k in range(Q)]
             prev_a = [src[k, rp : rp + 1, :] for k in range(Q)]
             next_a = [src[k, rn : rn + 1, :] for k in range(Q)]
-            obstacles = obs_ref[r0 : r0 + by, :] != 0
             if accel.axis == 1:
                 fluid_b = one - obstacles.astype(jnp.float32)
                 body = lane_accel(body, fluid_b, lane_blk)
@@ -156,7 +156,9 @@ def _kernel_resident(
                     obs_ref[rn : rn + 1, :] != 0
                 ).astype(jnp.float32)
                 next_a = lane_accel(next_a, fluid_n, lane1)
-            streamed = _pull_interior(body, prev_a, next_a, row_ids, by, nx)
+            streamed = _pull_interior(
+                body, prev_a, next_a, row_ids, by, nx
+            )
             new, t = _bgk_update(streamed, obstacles, omega)
             dst[:, r0 : r0 + by, :] = new
             tot = t if tot is None else tot + t
@@ -297,7 +299,9 @@ def resident_prefs(rows: int, lanes: int) -> tuple[int, ...] | None:
     """Step-granularity preference list when the (possibly transposed)
     ``rows`` x ``lanes`` lattice qualifies for residency, else None.
 
-    Qualify = two f32 state buffers + the mask + working-set slack fit
+    Qualify = the resident f32 state buffer(s) — two in double-buffer
+    mode, one for the 75-100 MB in-place window — + the mask +
+    working-set slack fit
     the scoped-VMEM ceiling, and the row geometry keeps every DMA and
     block slice (8, 128)-tile aligned (CLAUDE.md Mosaic constraints).
     LBM_RESIDENT gates: "0" disables, "1" forces (including interpret

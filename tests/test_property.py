@@ -56,6 +56,31 @@ def test_random_scene_all_paths_agree(seed):
     np.testing.assert_allclose(base_a, shard.av_vels[:params.max_iters], rtol=2e-5)
 
 
+@pytest.mark.parametrize("seed", [4, 5])
+def test_random_scene_resident_agrees(seed, monkeypatch):
+    """Random scenes through the VMEM-resident kernel (forced on in
+    interpret mode): both modes — double-buffer and in-place — must
+    track the jnp reference through the segmented planner (the random
+    iteration counts hit resident main + fused tail splits)."""
+    monkeypatch.setenv("LBM_RESIDENT", "1")
+    params, obstacles = random_scene(seed)
+    inv = num_non_obstacles_r(obstacles)
+    obs = jnp.asarray(obstacles)
+    base_c, base_a = make_simulate(
+        params, kernel="reference", n_iters=params.max_iters
+    )(initial_state(params), obs, inv)
+    base_c, base_a = np.asarray(base_c), np.asarray(base_a)
+    for inplace in ("0", "1"):
+        monkeypatch.setenv("LBM_RESIDENT_INPLACE", inplace)
+        got_c, got_a = make_simulate(
+            params, kernel="pallas", n_iters=params.max_iters
+        )(initial_state(params), obs, inv)
+        np.testing.assert_allclose(
+            base_c, np.asarray(got_c), rtol=5e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(base_a, np.asarray(got_a), rtol=5e-4)
+
+
 @pytest.mark.parametrize("seed", [7, 8])
 def test_random_wide_scene_transposed(seed):
     """Wide random scenes run through TransposedCarryStep."""
