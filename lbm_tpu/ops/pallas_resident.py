@@ -329,7 +329,10 @@ def resident_prefs(rows: int, lanes: int) -> tuple[int, ...] | None:
     pin = os.environ.get("LBM_RESIDENT_STEPS")
     if pin:
         g = int(pin)
-        return (g,) if g >= 2 and g % 2 == 0 else None
+        # Double-buffer mode needs even G (A->B->A pairs); the in-place
+        # mode has no buffer parity and accepts any positive count.
+        ok = g >= 1 and (n_bufs == 1 or g % 2 == 0)
+        return (g,) if ok else None
     return _G_PREF
 
 
