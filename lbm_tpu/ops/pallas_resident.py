@@ -60,8 +60,14 @@ Q = D2Q9.Q
 # amortises the two full-lattice VMEM round trips (72/G B per
 # cell-step of HBM traffic); the list stays divisor-rich so official
 # iteration counts (20000, 40000, 2000-iter marginals, test lengths)
-# land on a single segment. LBM_RESIDENT_STEPS pins one value.
-_G_PREF = (100, 64, 50, 32, 20, 16, 10, 8, 4, 2)
+# land on a single segment, but stops at 16 — measured G sensitivity
+# (docs/PERF.md v8: G=20 still beats blocked by ~9%, the round trips
+# at G<~8 cost as much HBM as blocked depth-2 moves) means a SMALL
+# exact divisor must never hijack a whole run from the main+tail split
+# at G=100 (e.g. iters=2002 must run 2000@G=100 + a 2-step blocked
+# tail, not 1001 calls at G=2). LBM_RESIDENT_STEPS pins one value
+# (bypassing the floor, for A/B probes).
+_G_PREF = (100, 64, 50, 32, 20, 16)
 
 
 def _kernel_resident(
@@ -295,23 +301,27 @@ def _pallas_resident(cells, obs_i8, *, omega_f, interpret, accel, gsteps):
     return new, tot[0]
 
 
-def resident_prefs(rows: int, lanes: int) -> tuple[int, ...] | None:
+def resident_prefs(
+    rows: int, lanes: int, backend: str | None = None
+) -> tuple[int, ...] | None:
     """Step-granularity preference list when the (possibly transposed)
     ``rows`` x ``lanes`` lattice qualifies for residency, else None.
 
     Qualify = the resident f32 state buffer(s) — two in double-buffer
-    mode, one for the 75-100 MB in-place window — + the mask +
+    mode, one for the ~75-78 MB in-place window — + the mask +
     working-set slack fit
     the scoped-VMEM ceiling, and the row geometry keeps every DMA and
     block slice (8, 128)-tile aligned (CLAUDE.md Mosaic constraints).
     LBM_RESIDENT gates: "0" disables, "1" forces (including interpret
     mode, for tests), unset = automatic on real TPU only — interpret
     runs keep the blocked kernel so the CPU suite's fused coverage is
-    unchanged."""
+    unchanged. ``backend`` overrides the backend probe WITHOUT
+    disturbing the env gates (scripts/plot_roofline.py mirrors the TPU
+    auto-selection — floor included — from a CPU process this way)."""
     env = os.environ.get("LBM_RESIDENT")
     if env is not None and env in ("0", "", "false"):
         return None
-    if env is None and jax.default_backend() != "tpu":
+    if env is None and (backend or jax.default_backend()) != "tpu":
         return None
     state_bytes = Q * rows * lanes * 4
     # Tiny states are per-step-latency-bound and measure slightly FASTER
@@ -336,12 +346,13 @@ def resident_prefs(rows: int, lanes: int) -> tuple[int, ...] | None:
     return _G_PREF
 
 
-def resident_gsteps(rows: int, lanes: int, n_iters: int | None) -> int | None:
+def resident_gsteps(rows: int, lanes: int, n_iters: int | None,
+                    backend: str | None = None) -> int | None:
     """The preferred step count per call for an ``n_iters``-step run,
     or None when residency doesn't apply (ineligible geometry/size, no
     preference divides ``n_iters``, or no length given — the
     single-step debug path)."""
-    prefs = resident_prefs(rows, lanes)
+    prefs = resident_prefs(rows, lanes, backend=backend)
     if not prefs or not n_iters:
         return None
     for g in prefs:

@@ -25,32 +25,26 @@ from lbm_tpu.profiling import (  # noqa: E402
 def _row_depth(r) -> int:
     """HBM-amortisation depth the default kernel config selects for a
     sweep row (reference kernel: 1; blocked pallas: the temporal-fusion
-    depth; VMEM-resident states: G steps per HBM round trip). The
-    hardware rows were measured on TPU where resident auto-selection
-    applies, so mirror that choice explicitly (LBM_RESIDENT=1 for the
-    probe — this script may itself run on CPU, where the automatic gate
-    stays off)."""
+    depth; VMEM-resident states: G steps per HBM round trip). Hardware
+    rows were measured on TPU where resident auto-selection applies —
+    including its 4 MiB floor — so mirror that exact policy via the
+    backend override (this script may itself run on CPU, where the
+    automatic gate would otherwise stay off; forcing LBM_RESIDENT=1
+    instead would bypass the floor and mislabel the small grids)."""
     if r.get("kernel") != "pallas":
         return 1
-    import os
-
-    from lbm_tpu.ops.pallas_fused import make_carry_step
+    from lbm_tpu.ops.pallas_fused import _layout, make_carry_step
+    from lbm_tpu.ops.pallas_resident import resident_gsteps
     from lbm_tpu.params import Params
 
     nx, ny = (int(v) for v in r["grid"].split("x"))
     params = Params(nx=nx, ny=ny, max_iters=r["iters"], reynolds_dim=10,
                     density=0.1, accel=0.01, omega=1.85)
     if r.get("backend") == "tpu":
-        saved = os.environ.get("LBM_RESIDENT")
-        os.environ["LBM_RESIDENT"] = "1"
-        try:
-            impl = make_carry_step(params, ny, nx, n_iters=r["iters"])
-        finally:
-            if saved is None:
-                os.environ.pop("LBM_RESIDENT", None)
-            else:
-                os.environ["LBM_RESIDENT"] = saved
-        return impl.fused
+        _, rows, lanes = _layout(params)
+        g = resident_gsteps(rows, lanes, r["iters"], backend="tpu")
+        if g:
+            return g
     return make_carry_step(params, ny, nx, n_iters=r["iters"]).fused
 
 

@@ -13,22 +13,37 @@ measured 23% halo cost at 112 ranks (report_mpi/report.tex:164-165);
 here the 1-shard structural overhead bounds what any shard count pays
 before real neighbour traffic starts.
 
+Both legs pin LBM_RESIDENT=0: the comparison isolates the shard_map
+structure around the BLOCKED kernel (the kernel that actually shards —
+the VMEM-resident kernel is single-chip-only by design, docs/PERF.md),
+so the unsharded leg must not auto-select residency and fold the
+resident-vs-blocked kernel difference into "sharding overhead".
+
+Each hardware measurement runs in a timeout-guarded subprocess (the
+CLAUDE.md rule: a hung tunnel call is not an Exception, so an
+in-process measurement could hang forever).
+
 Usage: python scripts/sharded_overhead.py [-o docs/artifacts/sharded_overhead.json]
        [--iters 2000] [--repeats 3]
 """
 
 import argparse
 import json
+import subprocess
 import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-import numpy as np  # noqa: E402
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 
 def measure(nx, ny, iters, repeats, sharded):
+    """Child-process body: one (grid, leg) marginal measurement."""
+    import os
+
+    os.environ["LBM_RESIDENT"] = "0"
+    import numpy as np
     import jax
     import jax.numpy as jnp
 
@@ -82,34 +97,61 @@ def measure(nx, ny, iters, repeats, sharded):
     return best, nx * ny * iters / best / 1e9
 
 
+def _run_case(nx, ny, iters, repeats, sharded, timeout_s=1500.0):
+    """Parent side: the measurement in a timeout-guarded subprocess."""
+    cmd = [sys.executable, str(Path(__file__).resolve()), "--child",
+           str(nx), str(ny), str(iters), str(repeats),
+           "1" if sharded else "0"]
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout_s, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {timeout_s:.0f}s"}
+    for line in res.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    return {"error": (res.stderr.strip().splitlines() or ["no output"])[-1][:500]}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--child", nargs=5, metavar=("NX", "NY", "ITERS",
+                                                "REPEATS", "SHARDED"),
+                   help=argparse.SUPPRESS)
     p.add_argument("-o", "--output",
                    default="docs/artifacts/sharded_overhead.json")
     p.add_argument("--iters", type=int, default=2000)
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args(argv)
 
+    if args.child:
+        nx, ny, iters, repeats, sharded = (int(v) for v in args.child)
+        s, g = measure(nx, ny, iters, repeats, bool(sharded))
+        print("RESULT " + json.dumps({"seconds": s, "glups": g}))
+        return 0
+
     import jax
 
     results = {"backend": jax.default_backend(),
                "iters": args.iters,
-               "method": "1-device-mesh sharded program vs unsharded, "
-                         "2000-iter marginals, best of repeats",
+               "method": "1-device-mesh sharded program vs unsharded "
+                         "(both legs LBM_RESIDENT=0: blocked kernel), "
+                         "2000-iter marginals, best of repeats, one "
+                         "timeout-guarded subprocess per leg",
                "cases": []}
     for nx, ny in ((1024, 1024), (16384, 1024)):
         row = {"grid": f"{nx}x{ny}"}
-        try:
-            s_solo, g_solo = measure(nx, ny, args.iters, args.repeats,
-                                     sharded=False)
-            s_shard, g_shard = measure(nx, ny, args.iters, args.repeats,
-                                       sharded=True)
+        solo = _run_case(nx, ny, args.iters, args.repeats, sharded=False)
+        shard = _run_case(nx, ny, args.iters, args.repeats, sharded=True)
+        if "glups" in solo and "glups" in shard:
             row.update({
-                "unsharded_glups": g_solo, "sharded_1dev_glups": g_shard,
-                "overhead_pct": 100.0 * (s_shard - s_solo) / s_solo,
+                "unsharded_glups": solo["glups"],
+                "sharded_1dev_glups": shard["glups"],
+                "overhead_pct": 100.0 * (shard["seconds"] - solo["seconds"])
+                / solo["seconds"],
             })
-        except Exception as exc:  # noqa: BLE001 — recorded, not hidden
-            row["error"] = repr(exc)[:500]
+        else:
+            row["error"] = {"unsharded": solo, "sharded": shard}
         results["cases"].append(row)
     out = Path(args.output)
     out.parent.mkdir(parents=True, exist_ok=True)

@@ -140,6 +140,12 @@ def main(argv=None):
     p.add_argument("--kernel", default="auto")
     p.add_argument("-o", "--output",
                    default="docs/artifacts/validate_scenes.json")
+    p.add_argument(
+        "--append", action="store_true",
+        help="merge into the existing artifact: rows for the re-run "
+             "(scene, association) pairs are replaced, other scenes' "
+             "rows kept (same contract as sweep.py --append)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -177,8 +183,15 @@ def main(argv=None):
                     r["pass"] = r["pass"] and r["within_drift_budget"]
                 print(json.dumps(r), flush=True)
                 results["scenes"].append(r)
-    results["ok"] = all(s.get("pass") for s in results["scenes"])
     out = Path(args.output)
+    if args.append and out.exists():
+        prev = json.loads(out.read_text())
+        redone = {(s["scene"], s.get("association"))
+                  for s in results["scenes"]}
+        kept = [s for s in prev.get("scenes", [])
+                if (s["scene"], s.get("association")) not in redone]
+        results["scenes"] = kept + results["scenes"]
+    results["ok"] = all(s.get("pass") for s in results["scenes"])
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(results, indent=2) + "\n")
     print(f"{'PASS' if results['ok'] else 'FAIL'} -> {out}")
