@@ -173,27 +173,35 @@ def _segment_loop(segs, cells, obstacles, inv_fluid, av_vels, t0):
 
 def _segments(kernel: str, params: Params, iters: int):
     """Plan the run as ``[(impl, n_steps), ...]``. One segment when
-    the kernel's preferred step granularity divides ``iters``; otherwise
-    a main segment at the preferred fusion depth (paired) plus a tail
-    shorter than one paired pass (still fused when a depth divides it,
-    just unpaired), so arbitrary iteration counts keep full speed (the
-    reference's loop had no such divisibility constraint,
-    d2q9-bgk.c:191)."""
+    the kernel's preferred step granularity divides ``iters``;
+    otherwise a main segment at the preferred granularity (paired /
+    resident) and the remainder re-planned recursively — a tail the
+    next-best granularity still doesn't divide splits again (e.g.
+    resident 1000@G=100 + 96 depth-fused + 3 single steps for
+    iters=1099), so arbitrary iteration counts keep full speed with at
+    most a handful of slow steps (the reference's loop had no
+    divisibility constraint, d2q9-bgk.c:191)."""
     kernel = _resolve_kernel(kernel, params)
-    if kernel == "pallas" and iters > 0:
+    parts = []
+    remaining = iters
+    if kernel == "pallas":
         from lbm_tpu.ops import pallas_fused
 
-        main, tail = pallas_fused.plan_iters(params, iters)
-        if tail:
-            parts = [
+        while remaining > 0:
+            main, tail = pallas_fused.plan_iters(params, remaining)
+            if not tail:
+                break  # remaining runs as one segment below
+            parts.append((
                 _select_impl(kernel, params, paired=True, n_iters=main),
-                _select_impl(
-                    kernel, params, paired=tail % 2 == 0, n_iters=tail
-                ),
-            ]
-            return list(zip(parts, (main, tail)))
-    impl = _select_impl(kernel, params, paired=iters % 2 == 0, n_iters=iters)
-    return [(impl, iters)]
+                main,
+            ))
+            remaining = tail  # strictly shrinks: re-plan it
+    if remaining > 0 or not parts:
+        impl = _select_impl(
+            kernel, params, paired=remaining % 2 == 0, n_iters=remaining
+        )
+        parts.append((impl, remaining))
+    return parts
 
 
 def make_simulate(params: Params, kernel: str = "auto", n_iters: int | None = None):

@@ -219,6 +219,34 @@ def test_resident_ineligible_geometry(monkeypatch):
     assert resident_prefs(32, 64) is not None
 
 
+def test_recursive_segment_planning(monkeypatch):
+    """Tails the main granularity leaves behind re-plan recursively
+    (runner._segments): a 1099-step resident run becomes 1000@G=100 +
+    96@G=32 (resident again, at the largest dividing granularity) + 3
+    single steps — never a long unfused tail. A tiny-divisor count
+    (2002) must NOT hijack the whole run at G=2 (the _G_PREF floor):
+    it splits 2000@G=100 + 2 blocked steps."""
+    from lbm_tpu.ops.pallas_resident import ResidentStep
+    from lbm_tpu.runner import _segments
+
+    monkeypatch.setenv("LBM_RESIDENT", "1")
+    p = small_params(ny=64, nx=64, max_iters=1099)
+
+    segs = _segments("pallas", p, 1099)
+    assert [n for _, n in segs] == [1000, 96, 3]
+    assert [getattr(i, "gsteps", None) for i, _ in segs] == [100, 32, None]
+
+    segs = _segments("pallas", p, 2002)
+    assert [n for _, n in segs] == [2000, 2]
+    assert isinstance(segs[0][0], ResidentStep) and segs[0][0].gsteps == 100
+    assert not isinstance(segs[1][0], ResidentStep)
+
+    # Blocked-only planning (resident off) keeps its prior shape.
+    monkeypatch.setenv("LBM_RESIDENT", "0")
+    segs = _segments("pallas", p, 21)
+    assert [n for _, n in segs] == [20, 1]
+
+
 def test_resident_run_simulation_with_tail(monkeypatch):
     """End-to-end through runner segments: a count no preferred G
     divides runs resident main + fused/blocked tail, matching the
