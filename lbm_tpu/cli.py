@@ -130,7 +130,11 @@ def _main(argv: list[str] | None = None) -> int:
             mesh = make_mesh(usable)
             # Non-divisor counts run via wall-shielded obstacle-row
             # padding (halo.plan_row_padding); only when the mask lacks
-            # boundary walls does the count demote to a divisor.
+            # boundary walls does the count demote to a divisor. This is
+            # a feasibility PROBE only — the pad count is discarded and
+            # run_simulation recomputes the identical plan from the same
+            # single owner (halo.plan_row_padding), so the two calls
+            # cannot drift.
             from lbm_tpu.parallel.halo import plan_row_padding
 
             try:

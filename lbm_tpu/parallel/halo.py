@@ -359,6 +359,13 @@ def plan_sharding(params: Params, mesh: Mesh, kernel: str):
         and params.nx >= 2 * params.ny
         and params.nx % n == 0
         and params.nx % 8 == 0
+        # Real-TPU Mosaic needs 8-aligned PER-SHARD rows; a wide grid
+        # whose transposed shards misalign (e.g. nx=288 over 8 -> 36
+        # rows/shard) must take the row plan — which plan_row_padding
+        # can always align — rather than demote to the reference
+        # kernel in resolve_shard_kernel. Same gate as
+        # plan_row_padding's transposed early-return.
+        and (jax.default_backend() != "tpu" or (params.nx // n) % 8 == 0)
     )
     if transposed:
         return (

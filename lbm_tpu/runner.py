@@ -71,7 +71,8 @@ def _resolve_kernel(kernel: str, params: Params) -> str:
     odd shapes like 100x100 do not) resolve to the XLA reference kernel
     under ``auto`` and are rejected with a clear error when pallas is
     requested explicitly; interpret mode (CPU) has no such constraint."""
-    if kernel == "auto":
+    was_auto = kernel == "auto"
+    if was_auto:
         if jax.default_backend() == "tpu" and params.dtype == np.float32:
             try:
                 from lbm_tpu.ops import pallas_fused
@@ -90,7 +91,9 @@ def _resolve_kernel(kernel: str, params: Params) -> str:
             "the pallas kernel is float32-only; use --kernel reference "
             "with --precision float64"
         )
-    if kernel == "pallas" and jax.default_backend() == "tpu":
+    # Auto-resolved pallas already passed supports_tpu_grid above; only
+    # an EXPLICIT pallas request still needs the Mosaic-geometry gate.
+    if not was_auto and kernel == "pallas" and jax.default_backend() == "tpu":
         from lbm_tpu.ops import pallas_fused
 
         if not pallas_fused.supports_tpu_grid(params.ny, params.nx):
@@ -299,6 +302,13 @@ def run_simulation(
             f"checkpoint_every must be a positive step count, "
             f"got {checkpoint_every}"
         )
+    if checkpoint_every is not None and checkpoint_file is None:
+        # Without a file the chunked path would run (slower) and save
+        # nothing — a misconfiguration, not a request.
+        raise ValueError(
+            "checkpoint_every requires checkpoint_file (periodic "
+            "checkpointing needs somewhere to write)"
+        )
     iters = params.max_iters if n_iters is None else n_iters
     obstacles = np.asarray(obstacles, dtype=bool)
     pad_rows = 0
@@ -328,12 +338,13 @@ def run_simulation(
     if debug:
         if mesh is not None:
             raise ValueError("--debug is not supported with --devices > 1")
-        return _run_debug(
-            params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
-            obstacles, start_step, av0,
-            checkpoint_every=checkpoint_every,
-            checkpoint_file=checkpoint_file,
-        )
+        with trace_ctx():
+            return _run_debug(
+                params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
+                obstacles, start_step, av0,
+                checkpoint_every=checkpoint_every,
+                checkpoint_file=checkpoint_file,
+            )
 
     if mesh is not None and not (checkpoint_every or start_step):
         from lbm_tpu.parallel import halo

@@ -40,14 +40,10 @@ class D2Q9:
     # branch of the fused kernel writes speed k from streamed speed OPP[k]
     # (d2q9-bgk.c:325-333).
     OPP = np.array([0, 3, 4, 1, 2, 7, 8, 5, 6], dtype=np.int32)
-    # Speeds with positive / negative x-component (accelerate_flow's
-    # east / west sets, d2q9-bgk.c:254-261).
-    EAST = (1, 5, 8)
-    WEST = (3, 6, 7)
-    # Equilibrium expansion constants (d2q9-bgk.c:269-271).
-    C_SQ_R = np.float32(3.0)  # 1 / c_s^2
-    TWO_C_SQ_R = np.float32(1.5)  # 1 / (2 c_s^2)
-    TWO_C_SQ_SQ_R = np.float32(4.5)  # 1 / (2 c_s^4)
+    # (The east/west forcing sets of d2q9-bgk.c:254-261 and the
+    # equilibrium expansion constants of d2q9-bgk.c:269-271 live where
+    # they are computed — ops/reference.py builds them in the working
+    # dtype — rather than duplicated here.)
 
 
 def initial_state(params: Params, dtype=jnp.float32) -> jnp.ndarray:

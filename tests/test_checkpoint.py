@@ -191,3 +191,15 @@ def test_pallas_fused_checkpoint_resume(tmp_path, stride):
     )
     np.testing.assert_allclose(full.cells, resumed.cells, rtol=2e-5, atol=5e-8)
     np.testing.assert_allclose(full.av_vels, resumed.av_vels, rtol=1e-4)
+
+
+def test_checkpoint_every_requires_file():
+    """checkpoint_every without checkpoint_file used to silently take
+    the chunked path and save nothing (review finding r3); now it is a
+    loud misconfiguration error."""
+    import pytest
+
+    p = small_params(ny=16, nx=32, max_iters=8)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    with pytest.raises(ValueError, match="checkpoint_file"):
+        run_simulation(p, obstacles, kernel="reference", checkpoint_every=4)

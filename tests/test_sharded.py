@@ -290,6 +290,33 @@ def test_sharded_kernel_validation(monkeypatch):
         halo.resolve_shard_kernel(p64, mesh, "pallas")
 
 
+def test_wide_misaligned_shards_take_row_plan(monkeypatch):
+    """A wide grid whose TRANSPOSED shards would break Mosaic's
+    8-aligned-rows rule (nx=288 over 8 -> 36 rows/shard) must take the
+    row plan on real TPU — which is Mosaic-legal at 8 rows/shard —
+    instead of demoting auto to the reference kernel (review finding
+    r3). Off-TPU (interpret) the transposed plan has no such
+    constraint and is kept."""
+    from lbm_tpu.parallel import halo
+
+    mesh = make_mesh(8)
+    p = small_params(ny=64, nx=288)
+    transposed, decomp, _, _ = halo.plan_sharding(p, mesh, "pallas")
+    assert transposed  # CPU/interpret: unconstrained
+
+    monkeypatch.setattr(halo.jax, "default_backend", lambda: "tpu")
+    transposed, decomp, _, _ = halo.plan_sharding(p, mesh, "pallas")
+    assert not transposed and decomp.ny == p.ny
+    assert halo.resolve_shard_kernel(p, mesh, "auto") == "pallas"
+    # Aligned wide grids still transpose on TPU (512/8 = 64 rows/shard).
+    p2 = small_params(ny=64, nx=512)
+    transposed, _, _, _ = halo.plan_sharding(p2, mesh, "pallas")
+    assert transposed
+    # plan_row_padding agrees there is nothing to pad for the row plan.
+    obstacles = generate_obstacles(p.nx, p.ny)
+    assert halo.plan_row_padding(p, obstacles, mesh, "pallas") == 0
+
+
 def test_sharded_f64_without_x64_raises():
     """The x64 guard must cover the sharded builders too, not just the
     single-device runner (review finding r2)."""
