@@ -1327,7 +1327,8 @@ def plan_iters(params: Params, iters: int) -> tuple[int, int]:
 
 
 def make_carry_step(params: Params, ny: int, nx: int, paired: bool = True,
-                    n_iters: int | None = None):
+                    n_iters: int | None = None,
+                    backend: str | None = None):
     """Pick the execution layout (transposed when the grid is much wider
     than tall) and the temporal fusion depth: a depth-D pass divides
     per-step HBM traffic by D. The preferred depth is size-aware
@@ -1336,11 +1337,15 @@ def make_carry_step(params: Params, ny: int, nx: int, paired: bool = True,
     maxIters divides by 4). Chip-resident states short-circuit to the
     VMEM-resident kernel first (lbm_tpu/ops/pallas_resident.py) — its
     eligibility and granularity rules mirror :func:`plan_iters`, so
-    planner and impl selection always agree."""
+    planner and impl selection always agree. ``backend`` overrides the
+    resident gate's backend probe; analysis scripts pass it so this
+    function never initialises a backend (jax.default_backend() would
+    — and the tunnelled TPU backend can hang for an hour when the
+    session is down, CLAUDE.md)."""
     cls, rows, lanes = _layout(params)
     from lbm_tpu.ops import pallas_resident as pr
 
-    g = pr.resident_gsteps(rows, lanes, n_iters)
+    g = pr.resident_gsteps(rows, lanes, n_iters, backend=backend)
     if g:
         rcls = (
             pr.TransposedResidentStep

@@ -33,19 +33,20 @@ def _row_depth(r) -> int:
     instead would bypass the floor and mislabel the small grids)."""
     if r.get("kernel") != "pallas":
         return 1
-    from lbm_tpu.ops.pallas_fused import _layout, make_carry_step
-    from lbm_tpu.ops.pallas_resident import resident_gsteps
+    from lbm_tpu.ops.pallas_fused import make_carry_step
     from lbm_tpu.params import Params
 
     nx, ny = (int(v) for v in r["grid"].split("x"))
     params = Params(nx=nx, ny=ny, max_iters=r["iters"], reynolds_dim=10,
                     density=0.1, accel=0.01, omega=1.85)
-    if r.get("backend") == "tpu":
-        _, rows, lanes = _layout(params)
-        g = resident_gsteps(rows, lanes, r["iters"], backend="tpu")
-        if g:
-            return g
-    return make_carry_step(params, ny, nx, n_iters=r["iters"]).fused
+    # The row's recorded backend drives the resident gate — passing it
+    # keeps this script from ever initialising a jax backend (the
+    # tunnelled TPU backend can hang for an hour when the session is
+    # down; plotting must not depend on the chip being up).
+    return make_carry_step(
+        params, ny, nx, n_iters=r["iters"],
+        backend=r.get("backend") or "cpu",
+    ).fused
 
 
 def main(argv=None):
