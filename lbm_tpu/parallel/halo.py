@@ -422,10 +422,29 @@ def _shard_segments(params: Params, decomp: RowDecomposition, kernel: str,
     arbitrary iteration counts keep the fused kernel's speed."""
     if kernel == "pallas" and iters > 0:
         from lbm_tpu.ops.pallas_fused import _depth_preference, plan_split
+        from lbm_tpu.parallel import resident_ring as rr
 
         cls, local_ny, width = _pallas_shard_geometry(
             params, decomp, transposed
         )
+        # Per-shard ring residency first (experimental opt-in,
+        # LBM_SHARD_RESIDENT=1): G steps per call with in-kernel seam
+        # RDMA; indivisible counts run a ring main segment and re-plan
+        # the tail (mirrors runner._segments' resident planning).
+        g = rr.ring_gsteps(local_ny, width, iters)
+        if g:
+            return [(rr.make_ring_impl(params, decomp, transposed, g),
+                     iters)]
+        prefs = rr.ring_prefs(local_ny, width)
+        if prefs:
+            main = iters - iters % prefs[0]
+            if main:
+                return [
+                    (rr.make_ring_impl(
+                        params, decomp, transposed,
+                        rr.ring_gsteps(local_ny, width, main)), main),
+                ] + _shard_segments(params, decomp, kernel, iters - main,
+                                    transposed)
         main, tail, probe = plan_split(
             iters,
             (

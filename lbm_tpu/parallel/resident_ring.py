@@ -1,0 +1,451 @@
+"""Sharded VMEM-resident stepping with in-kernel remote-DMA seam
+exchange (v9 "resident ring"): G whole timesteps per pallas_call with
+each shard's lattice resident in VMEM and the two seam rows exchanged
+over ICI every step by ``pltpu.make_async_remote_copy`` — no HBM
+traffic between the one copy-in and one copy-out per call.
+
+Why: the single-chip resident kernel (ops/pallas_resident.py) removed
+the HBM wall for chip-resident states (25.7 vs 20.8 GLUPS at 1024^2),
+but the sharded path still runs the blocked kernel — one full HBM
+round trip per fused pass (depth <= 8), because the seam ppermute
+lives at the XLA level BETWEEN pallas calls. Under row sharding the
+per-shard state shrinks by n_shards, so production grids become
+VMEM-resident per shard (1024^2 over 8 shards: 4.7 MB/buffer); what
+keeps them out of VMEM is only the per-step halo. Moving the halo
+exchange INSIDE the kernel as an RDMA ring removes that constraint:
+per-step HBM traffic drops from 72/depth to ~72/G B/cell (G = 100),
+and the seam transfer (2 rows x 9 speeds) overlaps the interior-block
+compute — the overlap the reference's trailing MPI_Sendrecv could
+never achieve (23% halo overhead at 112 ranks,
+/root/reference/report_mpi/report.tex:164-165; exchange at
+/root/reference/d2q9-bgk.c:341-393).
+
+Synchronisation protocol (validated step-by-step in interpret mode
+with the race detector on — see tests/test_ring.py):
+
+- Steps run in pairs (A->B then B->A, the reference's pointer swap
+  d2q9-bgk.c:196 as buffer parity), and every per-step communication
+  buffer is 2-slotted by step parity: stage_up/dn (the outgoing seam
+  rows, forcing pre-applied) and halo_s/n (the incoming neighbour
+  rows).
+- Each (direction, slot) pair has its OWN send and recv DMA
+  semaphore. This is load-bearing, not convention: two in-flight
+  messages from the same sender sharing one recv semaphore let the
+  receiver's step-t wait be satisfied by the step-t+1 arrival while
+  t's payload is still in flight (measured: silent wrong trajectories
+  in the interpreter; the same reordering is legal on real ICI).
+  Per-slot semaphores bound the protocol exactly: a shard can issue
+  the slot-s message for step t+2 only after its step-t+1 recv wait
+  passed, which orders it after both neighbours finished reading
+  their slot-s halos for step t.
+- Per step: stage + start both RDMAs -> compute interior blocks ->
+  wait recvs -> compute the two boundary blocks -> wait sends. The
+  seam bytes ride ICI under the interior compute.
+
+Acceleration (d2q9-bgk.c:235-266) is applied per-load to the pre-step
+state — the forced-row mask (built once per run from axis_index, the
+reference's rank_accelerate flag d2q9-bgk.c:498-500) guards body,
+neighbour-row and STAGED-row loads alike, so a neighbour whose south
+halo is the forced row (local_ny=2 decompositions) receives pre-forced
+values with no extra flag channels.
+
+Default OFF: the blocked seam-ppermute path (parallel/halo.py) stays
+the production sharded default because this kernel's Mosaic lowering
+and per-step RDMA latency are unproven on real multi-chip hardware
+(none is reachable from this environment — CLAUDE.md); correctness is
+proven bit-exact against the unsharded trajectory on the interpret
+mesh. Opt in with LBM_SHARD_RESIDENT=1.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lbm_tpu.params import Params
+from lbm_tpu.state import D2Q9
+from lbm_tpu.ops.reference import _bgk_update
+from lbm_tpu.ops.pallas_fused import (
+    _VMEM_CAP,
+    _accel_ok,
+    _accelerated,
+    _interpret,
+    _pick_block_rows,
+    _pull_interior,
+    AccelSpec,
+    transpose_state,
+)
+from lbm_tpu.ops.pallas_resident import _G_PREF
+from lbm_tpu.parallel.decomp import AXIS, RowDecomposition
+
+Q = D2Q9.Q
+
+
+def _kernel_ring(*refs, by, h, omega, accel, gsteps, n_shards,
+                 dynamic_accel):
+    """G timesteps on a VMEM-resident shard with per-step seam RDMA.
+
+    Positional refs (pallas order: inputs, outputs, scratch):
+    interior (9,h,nx) ANY in (aliased to out), obs (h,nx) VMEM i8,
+    [accel mask (h,nx) VMEM i8 when ``dynamic_accel``,] out (9,h,nx)
+    ANY, tot (1,G) SMEM; scratch: buf_a/buf_b (9,h,nx) VMEM, 4 stage +
+    4 halo (Q,1,nx) VMEM slot buffers, 1 whole-state-copy DMA
+    semaphore, 8 per-(direction,slot) DMA semaphores."""
+    it = iter(refs)
+    interior_ref = next(it)
+    obs_ref = next(it)
+    acc_ref = next(it) if dynamic_accel else None
+    out_ref = next(it)
+    tot_ref = next(it)
+    buf_a, buf_b = next(it), next(it)
+    stage_up = (next(it), next(it))
+    stage_dn = (next(it), next(it))
+    halo_s = (next(it), next(it))
+    halo_n = (next(it), next(it))
+    copy_sem = next(it)
+    sem_up_send = (next(it), next(it))
+    sem_dn_send = (next(it), next(it))
+    sem_s_recv = (next(it), next(it))
+    sem_n_recv = (next(it), next(it))
+
+    nx = out_ref.shape[-1]
+    n_blocks = h // by
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (by, nx), 0)
+    one = np.float32(1.0)
+
+    if n_shards > 1:
+        my = lax.axis_index(AXIS)
+        up = lax.rem(my + 1, np.int32(n_shards))
+        dn = lax.rem(my - 1 + np.int32(n_shards), np.int32(n_shards))
+
+    if accel.axis == 1:
+        lane1 = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, nx), 1)
+            == np.int32(accel.index)
+        ).astype(jnp.float32)
+        lane_blk = (
+            jax.lax.broadcasted_iota(jnp.int32, (by, nx), 1)
+            == np.int32(accel.index)
+        ).astype(jnp.float32)
+
+    def forced(vals, fluid_f, line_f):
+        """Guarded per-load forcing (d2q9-bgk.c:250-253) — identical to
+        the blocked kernel's per-copy application; f32 indicator
+        products per the Mosaic i1 rules (CLAUDE.md)."""
+        ok = _accel_ok(vals, fluid_f, accel, line_f)
+        return _accelerated(vals, ok, accel)
+
+    def line_factor(r0, m, blk=None):
+        """f32 0/1 forced-line indicator for rows [r0, r0+m): the
+        dynamic mask rows under row sharding, the static lane column
+        when transposed."""
+        if accel.axis == 1:
+            return lane_blk if m == by else lane1
+        if dynamic_accel:
+            return (acc_ref[r0 : r0 + m, :] != 0).astype(jnp.float32)
+        return np.float32(0.0)
+
+    def load_rows(src, r0, m):
+        """Per-speed (m, nx) planes of pre-step rows [r0, r0+m) with
+        forcing applied. Every row access stays rank-2 — rank-1 slices
+        of big VMEM refs trip Mosaic layout inference (CLAUDE.md)."""
+        vals = [src[k, r0 : r0 + m, :] for k in range(Q)]
+        fluid = one - (obs_ref[r0 : r0 + m, :] != 0).astype(jnp.float32)
+        return forced(vals, fluid, line_factor(r0, m))
+
+    def one_step(src, dst, idx, slot):
+        """One timestep src -> dst with seam RDMA on slot buffers."""
+        # --- stage the outgoing seam rows (forcing pre-applied) ------
+        top = load_rows(src, h - 1, 1)
+        bot = load_rows(src, 0, 1)
+        if n_shards > 1:
+            for k in range(Q):
+                stage_up[slot][k, 0:1, :] = top[k]
+                stage_dn[slot][k, 0:1, :] = bot[k]
+            rd_up = pltpu.make_async_remote_copy(
+                src_ref=stage_up[slot],
+                dst_ref=halo_s[slot],
+                send_sem=sem_up_send[slot],
+                recv_sem=sem_s_recv[slot],
+                device_id=(up,),
+                device_id_type=pltpu.DeviceIdType.MESH,
+            )
+            rd_dn = pltpu.make_async_remote_copy(
+                src_ref=stage_dn[slot],
+                dst_ref=halo_n[slot],
+                send_sem=sem_dn_send[slot],
+                recv_sem=sem_n_recv[slot],
+                device_id=(dn,),
+                device_id_type=pltpu.DeviceIdType.MESH,
+            )
+            rd_up.start()
+            rd_dn.start()
+
+        def block(b, south, north, tot):
+            r0 = b * by
+            obstacles = obs_ref[r0 : r0 + by, :] != 0
+            body = load_rows(src, r0, by)
+            streamed = _pull_interior(body, south, north, row_ids, by, nx)
+            new, t = _bgk_update(streamed, obstacles, omega)
+            dst[:, r0 : r0 + by, :] = new
+            return t if tot is None else tot + t
+
+        # --- interior blocks overlap the seam transfer ---------------
+        tot = None
+        for b in range(1, n_blocks - 1):
+            tot = block(
+                b,
+                load_rows(src, b * by - 1, 1),
+                load_rows(src, b * by + by, 1),
+                tot,
+            )
+
+        # --- boundary blocks need the neighbours' seam rows ----------
+        if n_shards > 1:
+            rd_up.wait_recv()
+            rd_dn.wait_recv()
+            south = [halo_s[slot][k, 0:1, :] for k in range(Q)]
+            north = [halo_n[slot][k, 0:1, :] for k in range(Q)]
+        else:
+            # Single shard: the ring closes on itself (periodic y).
+            south, north = top, bot
+        if n_blocks == 1:
+            tot = block(0, south, north, tot)
+        else:
+            tot = block(0, south, load_rows(src, by, 1), tot)
+            tot = block(
+                n_blocks - 1,
+                load_rows(src, (n_blocks - 1) * by - 1, 1),
+                north,
+                tot,
+            )
+        tot_ref[0, idx] = tot
+        if n_shards > 1:
+            rd_up.wait_send()
+            rd_dn.wait_send()
+
+    # --- whole-state copy-in (once per G steps) -----------------------
+    cp_in = pltpu.make_async_copy(interior_ref, buf_a, copy_sem)
+    cp_in.start()
+    cp_in.wait()
+
+    # G steps as G//2 A->B->A pairs; slot parity is static per half.
+    def pair(i, carry):
+        one_step(buf_a, buf_b, 2 * i, 0)
+        one_step(buf_b, buf_a, 2 * i + 1, 1)
+        return carry
+
+    lax.fori_loop(0, gsteps // 2, pair, 0)
+
+    cp_out = pltpu.make_async_copy(buf_a, out_ref, copy_sem)
+    cp_out.start()
+    cp_out.wait()
+
+
+def _ring_interpret():
+    """Interpret parameter for this kernel: remote DMAs need the TPU
+    interpreter (pltpu.InterpretParams — simulates per-device memories,
+    DMAs and semaphores on CPU), not the legacy ``interpret=True``.
+    LBM_RING_DETECT_RACES=1 turns on its vector-clock race detector
+    (slow; used by the protocol-audit test)."""
+    if not _interpret():
+        return False
+    detect = os.environ.get("LBM_RING_DETECT_RACES") == "1"
+    return pltpu.InterpretParams(detect_races=detect)
+
+
+def _pallas_ring(cells, obs_i8, accel_mask, *, omega_f, accel, gsteps,
+                 n_shards):
+    """Run ``gsteps`` timesteps on one VMEM-resident shard with per-step
+    seam RDMA. Returns ``(new_cells, tots)``; the input lattice buffer
+    is donated to the output (alias 0->0) so the stepping loop's carry
+    slot keeps one fixed HBM buffer per shard."""
+    q, h, nx = cells.shape
+    by = _pick_block_rows(h, nx)
+    assert h % by == 0 and gsteps >= 2 and gsteps % 2 == 0, (h, by, gsteps)
+    state_bytes = q * h * nx * 4
+    kernel = functools.partial(
+        _kernel_ring, by=by, h=h, omega=np.float32(omega_f), accel=accel,
+        gsteps=gsteps, n_shards=n_shards,
+        dynamic_accel=accel_mask is not None,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [cells, obs_i8]
+    if accel_mask is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(accel_mask)
+    seam = pltpu.VMEM((Q, 1, nx), jnp.float32)
+    new, tot = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q, h, nx), jnp.float32),
+            jax.ShapeDtypeStruct((1, gsteps), jnp.float32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((q, h, nx), jnp.float32)] * 2
+            + [seam] * 8
+            + [pltpu.SemaphoreType.DMA] * 9
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                _VMEM_CAP,
+                2 * state_bytes + 2 * h * nx
+                + 8 * Q * nx * 4 + (24 << 20),
+            ),
+            collective_id=0,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(100 * gsteps * h * nx),
+            bytes_accessed=int(2 * q * 4 * h * nx + h * nx),
+            transcendentals=int(gsteps * h * nx),
+        ),
+        input_output_aliases={0: 0},
+        interpret=_ring_interpret(),
+    )(*operands)
+    return new, tot[0]
+
+
+def ring_prefs(local_rows: int, lanes: int,
+               backend: str | None = None) -> tuple[int, ...] | None:
+    """Step-granularity preference list when the per-shard lattice
+    qualifies for ring residency, else None.
+
+    Qualify = LBM_SHARD_RESIDENT=1 (experimental opt-in — see module
+    docstring; "0"/unset keeps the proven blocked seam-ppermute path),
+    two resident f32 shard buffers + masks + seam slots fit the
+    scoped-VMEM ceiling, the block plan tiles the shard evenly, and on
+    real TPU the same 8-aligned-rows rule as the blocked sharded path
+    (resolve_shard_kernel). ``backend`` overrides the backend probe so
+    analysis paths never initialise a backend (CLAUDE.md)."""
+    if os.environ.get("LBM_SHARD_RESIDENT") != "1":
+        return None
+    if local_rows < 2:
+        return None
+    state_bytes = Q * local_rows * lanes * 4
+    if 2 * state_bytes + 2 * local_rows * lanes + (24 << 20) > _VMEM_CAP:
+        return None
+    by = _pick_block_rows(local_rows, lanes)
+    if local_rows % by:
+        return None
+    if (backend or jax.default_backend()) == "tpu" and (
+        local_rows % 8 or by % 8
+    ):
+        return None
+    pin = os.environ.get("LBM_RESIDENT_STEPS")
+    if pin:
+        g = int(pin)
+        return (g,) if g >= 2 and g % 2 == 0 else None
+    return _G_PREF
+
+
+def ring_gsteps(local_rows: int, lanes: int, n_iters: int | None,
+                backend: str | None = None) -> int | None:
+    """The preferred step count per call for an ``n_iters``-step
+    segment, or None when ring residency doesn't apply."""
+    prefs = ring_prefs(local_rows, lanes, backend=backend)
+    if not prefs or not n_iters:
+        return None
+    for g in prefs:
+        if n_iters % g == 0:
+            return g
+    return None
+
+
+class RingShardImpl:
+    """Per-shard step implementation over the runner's
+    prepare/init/step/final protocol: carry = the local lattice alone
+    (no edge-row arrays — seams move in-kernel). ``fused`` reports the
+    HBM-amortisation depth (G steps per HBM round trip)."""
+
+    transposed = False
+
+    def __init__(self, params: Params, decomp: RowDecomposition,
+                 gsteps: int):
+        self.params = params
+        self.decomp = decomp
+        self.omega = float(params.omega)
+        self.gsteps = int(gsteps)
+        self.fused = self.gsteps
+        self.steps_per_call = self.gsteps
+
+    def prepare(self, obstacles):
+        # Forced-row mask from axis_index — the reference's
+        # rank_accelerate remapping (d2q9-bgk.c:498), as in
+        # halo._PallasShardImpl.prepare.
+        d = self.decomp
+        my = lax.axis_index(AXIS)
+        local_row = np.int32(d.accel_row) - my * np.int32(d.local_ny)
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (d.local_ny, obstacles.shape[1]), 0
+        )
+        accel_mask = (rows == local_row).astype(jnp.int8)
+        return (obstacles, obstacles.astype(jnp.int8), accel_mask)
+
+    def _accel_spec(self) -> AccelSpec:
+        return AccelSpec.rows(self.params, self.params.ny)
+
+    def init(self, cells, prepared):
+        return cells
+
+    def step(self, carry, prepared):
+        _, obs_i8, accel_mask = prepared
+        new, tots = _pallas_ring(
+            carry, obs_i8, accel_mask, omega_f=self.omega,
+            accel=self._accel_spec(), gsteps=self.gsteps,
+            n_shards=self.decomp.n_shards,
+        )
+        return new, tots
+
+    def final(self, carry):
+        return carry
+
+
+class TransposedRingShardImpl(RingShardImpl):
+    """Wide-grid x-sharding (the transposed plan): the forced line is a
+    static lane column present in every shard, so no dynamic mask — the
+    lane AccelSpec guards every load, staged seam rows included."""
+
+    transposed = True
+
+    def prepare(self, obstacles):
+        obs_t = obstacles.T
+        return (obs_t, obs_t.astype(jnp.int8), None)
+
+    def _accel_spec(self) -> AccelSpec:
+        return AccelSpec.lanes(self.params, self.params.ny)
+
+    def init(self, cells, prepared):
+        return transpose_state(cells)
+
+    def step(self, carry, prepared):
+        _, obs_i8, _ = prepared
+        new, tots = _pallas_ring(
+            carry, obs_i8, None, omega_f=self.omega,
+            accel=self._accel_spec(), gsteps=self.gsteps,
+            n_shards=self.decomp.n_shards,
+        )
+        return new, tots
+
+    def final(self, carry):
+        return transpose_state(carry)
+
+
+def make_ring_impl(params: Params, decomp: RowDecomposition,
+                   transposed: bool, gsteps: int) -> RingShardImpl:
+    cls = TransposedRingShardImpl if transposed else RingShardImpl
+    return cls(params, decomp, gsteps)

@@ -1,0 +1,173 @@
+"""Sharded VMEM-resident ring kernel (parallel/resident_ring.py):
+in-kernel remote-DMA seam exchange, validated against the unsharded
+trajectory on the 8-virtual-device CPU mesh under the Pallas TPU
+interpreter (which simulates per-device memories, remote DMAs and
+semaphores — the closest no-hardware proof of the multi-chip RDMA
+protocol this environment allows)."""
+
+import numpy as np
+import pytest
+
+from lbm_tpu.obstacles import generate_obstacles
+from lbm_tpu.params import Params
+from lbm_tpu.parallel.decomp import make_mesh
+from lbm_tpu.parallel import resident_ring as rr
+from lbm_tpu.parallel.halo import _shard_segments, plan_sharding
+from lbm_tpu.runner import run_simulation
+
+
+def small_params(**kw):
+    defaults = dict(nx=32, ny=32, max_iters=20, reynolds_dim=10,
+                    density=0.1, accel=0.005, omega=1.85)
+    defaults.update(kw)
+    return Params(**defaults)
+
+
+def ring_segments(p, n_dev, iters):
+    mesh = make_mesh(n_dev)
+    transposed, decomp, _, _ = plan_sharding(p, mesh, "pallas")
+    return _shard_segments(p, decomp, "pallas", iters, transposed), transposed
+
+
+def test_ring_gating(monkeypatch):
+    """Default OFF everywhere (the blocked seam-ppermute path stays the
+    proven production default); LBM_SHARD_RESIDENT=1 opts in; VMEM and
+    geometry limits mirror the single-chip resident rules."""
+    monkeypatch.delenv("LBM_SHARD_RESIDENT", raising=False)
+    assert rr.ring_prefs(128, 1024) is None
+    monkeypatch.setenv("LBM_SHARD_RESIDENT", "0")
+    assert rr.ring_prefs(128, 1024) is None
+    monkeypatch.setenv("LBM_SHARD_RESIDENT", "1")
+    assert rr.ring_prefs(128, 1024) == rr._G_PREF
+    assert rr.ring_gsteps(128, 1024, 20000) == 100
+    assert rr.ring_gsteps(128, 1024, 23) is None
+    # Two resident shard buffers must fit the scoped-VMEM ceiling.
+    assert rr.ring_prefs(4096, 1024) is None
+    # Degenerate single-row shards can't form a block plan.
+    assert rr.ring_prefs(1, 128) is None
+    # On real TPU the blocked path's 8-aligned-rows rule applies.
+    assert rr.ring_prefs(12, 128, backend="tpu") is None
+    assert rr.ring_prefs(16, 128, backend="tpu") == rr._G_PREF
+    # LBM_RESIDENT_STEPS pins one (even) granularity.
+    monkeypatch.setenv("LBM_RESIDENT_STEPS", "4")
+    assert rr.ring_prefs(128, 1024) == (4,)
+    monkeypatch.setenv("LBM_RESIDENT_STEPS", "5")
+    assert rr.ring_prefs(128, 1024) is None
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_ring_matches_unsharded(n_dev, monkeypatch):
+    """Full sharded ring simulation == unsharded reference trajectory;
+    the planner must actually have selected the ring impl. A shrunk
+    block budget makes the 2-device case multi-block (by=8 over 32
+    local rows), exercising the interior-compute/seam-wait overlap
+    split; the 8-device case is the single-block both-halo path."""
+    from lbm_tpu.ops import pallas_fused as pf
+
+    monkeypatch.setenv("LBM_SHARD_RESIDENT", "1")
+    monkeypatch.setattr(pf, "_SLOT_BYTES", 8 * 9 * 32 * 4)
+    p = small_params(ny=64, nx=32, max_iters=20)
+    segs, transposed = ring_segments(p, n_dev, 20)
+    assert not transposed
+    assert len(segs) == 1 and isinstance(segs[0][0], rr.RingShardImpl)
+    assert segs[0][0].steps_per_call == 20
+
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas",
+                         mesh=make_mesh(n_dev))
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+
+
+def test_ring_forced_row_on_shard_edge(monkeypatch):
+    """ny=16 over 8 shards -> local_ny=2, the forced row ny-2 is the top
+    shard's row 0 — its SOUTH seam. The neighbour below must receive
+    pre-forced values (staging applies the guarded forcing), with
+    obstacles scattered on the forced row exercising the guard."""
+    monkeypatch.setenv("LBM_SHARD_RESIDENT", "1")
+    rng = np.random.default_rng(55)
+    p = small_params(ny=16, nx=64, max_iters=20)
+    segs, _ = ring_segments(p, 8, 20)
+    assert isinstance(segs[0][0], rr.RingShardImpl)
+
+    obstacles = generate_obstacles(p.nx, p.ny)
+    obstacles[p.ny - 2, :] |= rng.random(p.nx) < 0.3
+    obstacles[p.ny - 2, 5] = False
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas", mesh=make_mesh(8))
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+
+
+def test_ring_transposed_wide_grid(monkeypatch):
+    """Wide grids shard the transposed lattice over physical x; the
+    forced line is a lane column in every shard (static lane forcing,
+    staged seam rows included)."""
+    monkeypatch.setenv("LBM_SHARD_RESIDENT", "1")
+    rng = np.random.default_rng(57)
+    p = small_params(ny=16, nx=128, max_iters=20)
+    segs, transposed = ring_segments(p, 4, 20)
+    assert transposed
+    assert isinstance(segs[0][0], rr.TransposedRingShardImpl)
+
+    obstacles = generate_obstacles(p.nx, p.ny)
+    obstacles |= rng.random((p.ny, p.nx)) < 0.1
+    obstacles[p.ny - 2, 7] = False
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas", mesh=make_mesh(4))
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+
+
+def test_ring_single_shard_closes_on_itself(monkeypatch):
+    """n_shards == 1: the ring closes locally (periodic wrap, no RDMA) —
+    the configuration a 1-device-mesh Mosaic check would compile."""
+    monkeypatch.setenv("LBM_SHARD_RESIDENT", "1")
+    p = small_params(ny=32, nx=32, max_iters=20)
+    segs, _ = ring_segments(p, 1, 20)
+    assert isinstance(segs[0][0], rr.RingShardImpl)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas", mesh=make_mesh(1))
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+
+
+def test_ring_main_plus_tail_segments(monkeypatch):
+    """Iteration counts no ring granularity divides run a ring main
+    segment plus a re-planned blocked tail inside one shard_map
+    program (halo._shard_segments)."""
+    monkeypatch.setenv("LBM_SHARD_RESIDENT", "1")
+    monkeypatch.setenv("LBM_RESIDENT_STEPS", "4")
+    p = small_params(ny=64, nx=32, max_iters=23)
+    segs, _ = ring_segments(p, 8, 23)
+    assert isinstance(segs[0][0], rr.RingShardImpl)
+    assert segs[0][1] == 20 and segs[0][0].steps_per_call == 4
+    assert sum(n for _, n in segs) == 23
+    assert not any(isinstance(i, rr.RingShardImpl) for i, _ in segs[1:])
+
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas", mesh=make_mesh(8))
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+    assert (np.asarray(got.av_vels) != 0).all()
+
+
+def test_ring_protocol_race_free(monkeypatch):
+    """Run the full ring protocol under the interpreter's vector-clock
+    race detector — the audit that caught the shared-recv-semaphore
+    reordering hazard during development (two in-flight messages on one
+    semaphore let a step-t wait be satisfied by the step-t+1 arrival;
+    legal on real ICI too, so per-(direction,slot) semaphores are
+    load-bearing)."""
+    monkeypatch.setenv("LBM_SHARD_RESIDENT", "1")
+    monkeypatch.setenv("LBM_RING_DETECT_RACES", "1")
+    monkeypatch.setenv("LBM_RESIDENT_STEPS", "8")
+    p = small_params(ny=32, nx=32, max_iters=8)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas", mesh=make_mesh(4))
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
