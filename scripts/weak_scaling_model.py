@@ -45,6 +45,40 @@ SHARDS = [
     ("16384x1024 per chip", 16384, 1024, 24.11, 4),
     ("131072x128 per chip", 131072, 128, 28.34, 8),
 ]
+# v9 ring residency (parallel/resident_ring.py, LBM_SHARD_RESIDENT=1):
+# per-shard VMEM residency caps the shard at ~19 MB of state (two
+# buffers + slack under the 100 MiB scoped cap — no in-place mode), so
+# its weak-scaling shape is 512x1024 PER CHIP at the measured marginal
+# resident rate for ~19 MB states (docs/artifacts/
+# resident_crossover.json, grid 1024x512: 15.2 GLUPS). Seams are 9
+# speeds x 1 row both directions EVERY step (vs the blocked path's
+# QP(16)-padded D-deep entries per D steps), and the transfer is
+# started before the interior-block compute, so only the part of
+# (transfer + latency) longer than the interior window is exposed.
+# The window excludes the two boundary blocks (>= 8 rows each), which
+# cannot start before the seams arrive.
+RING_SHARD = ("512x1024 per chip (ring)", 512, 1024, 15.2)
+RING_BOUNDARY_ROWS = 16  # two 8-row boundary blocks
+
+
+def ring_model(rows: int, lanes: int, glups: float, n: int) -> dict:
+    cells = rows * lanes
+    t_comp = cells / (glups * 1e9)
+    if n == 1:
+        exposed = 0.0
+        t_halo = 0.0
+    else:
+        t_halo = 2 * 9 * lanes * 4 / (ICI_GBPS * 1e9) + 2 * ICI_LAT_US * 1e-6
+        window = t_comp * max(0, rows - RING_BOUNDARY_ROWS) / rows
+        exposed = max(0.0, t_halo - window)
+    return {
+        "devices": n,
+        "t_compute_us": t_comp * 1e6,
+        "t_halo_us": t_halo * 1e6,
+        "t_halo_exposed_us": exposed * 1e6,
+        "halo_fraction": exposed / (t_comp + exposed),
+        "efficiency": t_comp / (t_comp + exposed),
+    }
 
 
 def model(rows: int, lanes: int, glups: float, n: int, depth: int) -> dict:
@@ -82,7 +116,10 @@ def main(argv=None):
             "ici_gbps": ICI_GBPS, "ici_latency_us": ICI_LAT_US,
             "edge_channels": QP,
             "fusion_depth": {n: d for n, _, _, _, d in SHARDS},
-            "compute": "measured v6.5 single-chip GLUPS (docs/PERF.md)",
+            "compute": "measured v6.5 single-chip GLUPS (docs/PERF.md); "
+                       "ring rows use the measured marginal resident rate "
+                       "for ~19 MB states (resident_crossover.json)",
+            "ring_boundary_rows": RING_BOUNDARY_ROWS,
         },
         "reference_halo_fraction": 0.23,  # report_mpi/report.tex:164-165
         "grids": {},
@@ -95,6 +132,32 @@ def main(argv=None):
                   f"halo {r['t_halo_us']:.1f} us -> efficiency "
                   f"{r['efficiency']:.4f}")
 
+    # v9 ring residency: weak scaling at its VMEM-capped shard shape.
+    name, rows, lanes, glups = RING_SHARD
+    ring_rows = [ring_model(rows, lanes, glups, n) for n in devices]
+    results["grids"][name] = ring_rows
+    for r in ring_rows:
+        print(f"{name} n={r['devices']}: compute {r['t_compute_us']:.0f} us, "
+              f"halo {r['t_halo_us']:.1f} us ({r['t_halo_exposed_us']:.1f} "
+              f"exposed) -> efficiency {r['efficiency']:.4f}")
+
+    # Ring strong scaling (fixed global 1024x1024): shrinking per-shard
+    # rows shrink the interior window that hides the per-step seam
+    # latency — the model's answer to "how far does per-step RDMA
+    # scale before latency is exposed".
+    strong = []
+    for n in [2, 4, 8, 16, 32, 64]:
+        local = 1024 // n
+        r = ring_model(local, 1024, glups, n)
+        t1 = 1024 * 1024 / (glups * 1e9)
+        tn = (r["t_compute_us"] + r["t_halo_exposed_us"]) * 1e-6
+        r["strong_efficiency"] = t1 / (n * tn)
+        strong.append(r)
+        print(f"ring strong 1024^2 n={n} (local rows {local}): "
+              f"exposed {r['t_halo_exposed_us']:.1f} us -> "
+              f"parallel efficiency {r['strong_efficiency']:.3f}")
+    results["ring_strong_scaling_1024sq"] = strong
+
     jp = Path(args.json)
     jp.parent.mkdir(parents=True, exist_ok=True)
     jp.write_text(json.dumps(results, indent=2) + "\n")
@@ -104,8 +167,9 @@ def main(argv=None):
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(6.4, 4.0), dpi=150)
-    colors = ["#2a78d6", "#eb6834"]  # categorical slots 1-2
-    for (name, *_), color in zip(SHARDS, colors):
+    colors = ["#2a78d6", "#eb6834", "#2b9a66"]  # categorical slots 1-3
+    plotted = [s[0] for s in SHARDS] + [RING_SHARD[0]]
+    for name, color in zip(plotted, colors):
         rows_n = results["grids"][name]
         xs = [r["devices"] for r in rows_n]
         ys = [r["efficiency"] for r in rows_n]

@@ -155,6 +155,39 @@ def test_ring_main_plus_tail_segments(monkeypatch):
     assert (np.asarray(got.av_vels) != 0).all()
 
 
+def test_ring_checkpoint_resume(monkeypatch, tmp_path):
+    """Chunked checkpoint/resume through the ring path: each chunk of
+    the shard_map program re-plans its segments (make_sharded_chunk via
+    halo._shard_segments), an odd stride forcing ring main + blocked
+    tail inside every chunk; the trajectory must be independent of the
+    chunking and survive a resume."""
+    monkeypatch.setenv("LBM_SHARD_RESIDENT", "1")
+    monkeypatch.setenv("LBM_RESIDENT_STEPS", "4")
+    mesh = make_mesh(4)
+    p = small_params(ny=64, nx=32, max_iters=20)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+    chunked = run_simulation(
+        p, obstacles, kernel="pallas", mesh=mesh,
+        checkpoint_every=7, checkpoint_file=tmp_path / "ck.npz",
+    )
+    np.testing.assert_allclose(base.cells, chunked.cells, rtol=2e-5,
+                               atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, chunked.av_vels, rtol=1e-4)
+
+    half = run_simulation(
+        p, obstacles, kernel="pallas", mesh=mesh, n_iters=12,
+        checkpoint_every=12, checkpoint_file=tmp_path / "ck2.npz",
+    )
+    resumed = run_simulation(
+        p, obstacles, kernel="pallas", mesh=mesh,
+        resume_from=tmp_path / "ck2.npz",
+    )
+    np.testing.assert_allclose(base.cells, resumed.cells, rtol=2e-5,
+                               atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, resumed.av_vels, rtol=1e-4)
+
+
 def test_ring_protocol_race_free(monkeypatch):
     """Run the full ring protocol under the interpreter's vector-clock
     race detector — the audit that caught the shared-recv-semaphore
