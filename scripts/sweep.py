@@ -40,15 +40,36 @@ GRID_SCENES = {
     # sharded sweep rows — CPU-tractable stand-in for the wide stress
     # grids' sharding structure.
     "512x64": (512, 64, 2000, 0.005),
+    # Tiny grids for functional ring-kernel rows: the interpret TPU
+    # simulator (which the ring kernel's remote DMAs require on CPU)
+    # costs ~ms per cell-step, so ring rows need a far smaller cell x
+    # iteration budget than the plain interpret rows above. 128x32 is
+    # wide (nx >= 2*ny) so its sharding plan transposes, covering the
+    # TransposedRingShardImpl structure.
+    "64x64": (64, 64, 100, 0.005),
+    "128x32": (128, 32, 100, 0.005),
 }
 
 
 def run_config(grid, kernel, n_devices, iters, repeats):
+    import os
+
     import jax
     import jax.numpy as jnp
     from lbm_tpu.params import Params
     from lbm_tpu.obstacles import generate_obstacles, num_non_obstacles_r
     from lbm_tpu.state import initial_state
+
+    # "ring" = the v9 sharded VMEM-resident ring kernel
+    # (parallel/resident_ring.py): the pallas path with
+    # LBM_SHARD_RESIDENT=1, always routed through the sharded builders
+    # (a 1-device ring closes on itself).
+    ring = kernel == "ring"
+    kernel_impl = "pallas" if ring else kernel
+    if ring:
+        os.environ["LBM_SHARD_RESIDENT"] = "1"
+    else:
+        os.environ.pop("LBM_SHARD_RESIDENT", None)
 
     nx, ny, default_iters, accel = GRID_SCENES[grid]
     iters = iters or min(default_iters, 2000)
@@ -60,17 +81,17 @@ def run_config(grid, kernel, n_devices, iters, repeats):
     obs_dev = jnp.asarray(obstacles)
     cells0 = initial_state(params)
 
-    if n_devices > 1:
+    if n_devices > 1 or ring:
         from lbm_tpu.parallel.decomp import make_mesh
         from lbm_tpu.parallel.halo import make_sharded_simulate, shard_inputs
 
         mesh = make_mesh(n_devices)
-        simulate = make_sharded_simulate(params, mesh, kernel=kernel)
+        simulate = make_sharded_simulate(params, mesh, kernel=kernel_impl)
         # params/kernel select the same placement plan_sharding chose
         # (x-decomposed for wide pallas grids) so the compiled call never
         # reshards inside the timed region.
         cells0, obs_dev = shard_inputs(
-            mesh, cells0, obs_dev, params=params, kernel=kernel
+            mesh, cells0, obs_dev, params=params, kernel=kernel_impl
         )
     else:
         from lbm_tpu.runner import make_simulate
@@ -84,10 +105,11 @@ def run_config(grid, kernel, n_devices, iters, repeats):
     best = float("inf")
     for _ in range(repeats):
         cells0 = initial_state(params)
-        if n_devices > 1:
+        if n_devices > 1 or ring:
             from lbm_tpu.parallel.halo import shard_inputs as si
 
-            cells0, _ = si(mesh, cells0, obs_dev, params=params, kernel=kernel)
+            cells0, _ = si(mesh, cells0, obs_dev, params=params,
+                           kernel=kernel_impl)
         jax.block_until_ready(cells0)
         t0 = time.perf_counter()
         c, a = compiled(cells0, obs_dev, inv)
