@@ -49,6 +49,14 @@ neighbour-row and STAGED-row loads alike, so a neighbour whose south
 halo is the forced row (local_ny=2 decompositions) receives pre-forced
 values with no extra flag channels.
 
+Like the single-chip resident kernel, shards whose TWO buffers exceed
+the scoped-VMEM ceiling but whose ONE buffer fits (~75-78 MB, e.g.
+16384x1024 over 8 devices at 75.5 MB/shard) step a single resident
+buffer IN PLACE: blocks run 1..n-1 then 0 so the seam RDMAs still
+overlap the interior compute, with register-carried old edge rows
+replacing the second buffer (the v8.1 design, d2q9-bgk.c:196's
+pointer swap collapsed to one buffer).
+
 Default OFF: the blocked seam-ppermute path (parallel/halo.py) stays
 the production sharded default because this kernel's Mosaic lowering
 and per-step RDMA latency are unproven on real multi-chip hardware
@@ -82,29 +90,54 @@ from lbm_tpu.ops.pallas_fused import (
     AccelSpec,
     transpose_state,
 )
-from lbm_tpu.ops.pallas_resident import _G_PREF
+from lbm_tpu.ops.pallas_resident import _G_PREF, _inplace_mode
 from lbm_tpu.parallel.decomp import AXIS, RowDecomposition
 
 Q = D2Q9.Q
 
 
+def _ring_aux_bytes(rows: int, lanes: int) -> int:
+    """Non-state VMEM the ring kernel needs besides the resident
+    buffer(s): the int8 masks (obstacles + the dynamic accel mask of
+    the row-sharded path — counted for the transposed path too so the
+    in-place decision is layout-independent) and the 8 seam slot
+    buffers (2 directions x 2 slots x stage/halo)."""
+    return 2 * rows * lanes + 8 * Q * lanes * 4
+
+
+def _ring_vmem_bytes(n_bufs: int, rows: int, lanes: int, by: int) -> int:
+    """Scoped-VMEM budget for a ring configuration: the resident
+    buffer(s) + masks/seams + an explicit block working-set allowance
+    (5 nine-speed row blocks — body, streamed and equilibrium
+    temporaries; the flat 24-MiB slack the single-chip resident kernel
+    uses equals this at its largest by=128/1024-lane blocks, but
+    double-counts for the ring, whose extra mask + seam slots would
+    otherwise push the proven ~75-MB in-place window just past the
+    ceiling)."""
+    working = max(5 * Q * by * lanes * 4, 8 << 20)
+    return n_bufs * Q * rows * lanes * 4 + _ring_aux_bytes(rows, lanes) \
+        + working
+
+
 def _kernel_ring(*refs, by, h, omega, accel, gsteps, n_shards,
-                 dynamic_accel):
+                 dynamic_accel, inplace):
     """G timesteps on a VMEM-resident shard with per-step seam RDMA.
 
     Positional refs (pallas order: inputs, outputs, scratch):
     interior (9,h,nx) ANY in (aliased to out), obs (h,nx) VMEM i8,
     [accel mask (h,nx) VMEM i8 when ``dynamic_accel``,] out (9,h,nx)
-    ANY, tot (1,G) SMEM; scratch: buf_a/buf_b (9,h,nx) VMEM, 4 stage +
-    4 halo (Q,1,nx) VMEM slot buffers, 1 whole-state-copy DMA
-    semaphore, 8 per-(direction,slot) DMA semaphores."""
+    ANY, tot (1,G) SMEM; scratch: buf_a [+ buf_b unless ``inplace``]
+    (9,h,nx) VMEM, 4 stage + 4 halo (Q,1,nx) VMEM slot buffers, 1
+    whole-state-copy DMA semaphore, 8 per-(direction,slot) DMA
+    semaphores."""
     it = iter(refs)
     interior_ref = next(it)
     obs_ref = next(it)
     acc_ref = next(it) if dynamic_accel else None
     out_ref = next(it)
     tot_ref = next(it)
-    buf_a, buf_b = next(it), next(it)
+    buf_a = next(it)
+    buf_b = None if inplace else next(it)
     stage_up = (next(it), next(it))
     stage_dn = (next(it), next(it))
     halo_s = (next(it), next(it))
@@ -160,33 +193,52 @@ def _kernel_ring(*refs, by, h, omega, accel, gsteps, n_shards,
         fluid = one - (obs_ref[r0 : r0 + m, :] != 0).astype(jnp.float32)
         return forced(vals, fluid, line_factor(r0, m))
 
-    def one_step(src, dst, idx, slot):
-        """One timestep src -> dst with seam RDMA on slot buffers."""
-        # --- stage the outgoing seam rows (forcing pre-applied) ------
+    def start_seams(src, slot):
+        """Stage the outgoing seam rows (forcing pre-applied) and start
+        both RDMAs. Returns (rdma_up, rdma_dn, top, bot) — the in-flight
+        copies plus the pre-step edge rows (the local seam substitutes
+        when the ring closes on itself, n_shards == 1)."""
         top = load_rows(src, h - 1, 1)
         bot = load_rows(src, 0, 1)
-        if n_shards > 1:
-            for k in range(Q):
-                stage_up[slot][k, 0:1, :] = top[k]
-                stage_dn[slot][k, 0:1, :] = bot[k]
-            rd_up = pltpu.make_async_remote_copy(
-                src_ref=stage_up[slot],
-                dst_ref=halo_s[slot],
-                send_sem=sem_up_send[slot],
-                recv_sem=sem_s_recv[slot],
-                device_id=(up,),
-                device_id_type=pltpu.DeviceIdType.MESH,
-            )
-            rd_dn = pltpu.make_async_remote_copy(
-                src_ref=stage_dn[slot],
-                dst_ref=halo_n[slot],
-                send_sem=sem_dn_send[slot],
-                recv_sem=sem_n_recv[slot],
-                device_id=(dn,),
-                device_id_type=pltpu.DeviceIdType.MESH,
-            )
-            rd_up.start()
-            rd_dn.start()
+        if n_shards == 1:
+            return None, None, top, bot
+        for k in range(Q):
+            stage_up[slot][k, 0:1, :] = top[k]
+            stage_dn[slot][k, 0:1, :] = bot[k]
+        rd_up = pltpu.make_async_remote_copy(
+            src_ref=stage_up[slot],
+            dst_ref=halo_s[slot],
+            send_sem=sem_up_send[slot],
+            recv_sem=sem_s_recv[slot],
+            device_id=(up,),
+            device_id_type=pltpu.DeviceIdType.MESH,
+        )
+        rd_dn = pltpu.make_async_remote_copy(
+            src_ref=stage_dn[slot],
+            dst_ref=halo_n[slot],
+            send_sem=sem_dn_send[slot],
+            recv_sem=sem_n_recv[slot],
+            device_id=(dn,),
+            device_id_type=pltpu.DeviceIdType.MESH,
+        )
+        rd_up.start()
+        rd_dn.start()
+        return rd_up, rd_dn, top, bot
+
+    def seam_rows(rd_up, rd_dn, slot, top, bot):
+        """Block on the incoming seam rows and return (south, north)."""
+        if n_shards == 1:
+            # Single shard: the ring closes on itself (periodic y).
+            return top, bot
+        rd_up.wait_recv()
+        rd_dn.wait_recv()
+        south = [halo_s[slot][k, 0:1, :] for k in range(Q)]
+        north = [halo_n[slot][k, 0:1, :] for k in range(Q)]
+        return south, north
+
+    def one_step(src, dst, idx, slot):
+        """One timestep src -> dst with seam RDMA on slot buffers."""
+        rd_up, rd_dn, top, bot = start_seams(src, slot)
 
         def block(b, south, north, tot):
             r0 = b * by
@@ -208,14 +260,7 @@ def _kernel_ring(*refs, by, h, omega, accel, gsteps, n_shards,
             )
 
         # --- boundary blocks need the neighbours' seam rows ----------
-        if n_shards > 1:
-            rd_up.wait_recv()
-            rd_dn.wait_recv()
-            south = [halo_s[slot][k, 0:1, :] for k in range(Q)]
-            north = [halo_n[slot][k, 0:1, :] for k in range(Q)]
-        else:
-            # Single shard: the ring closes on itself (periodic y).
-            south, north = top, bot
+        south, north = seam_rows(rd_up, rd_dn, slot, top, bot)
         if n_blocks == 1:
             tot = block(0, south, north, tot)
         else:
@@ -231,15 +276,76 @@ def _kernel_ring(*refs, by, h, omega, accel, gsteps, n_shards,
             rd_up.wait_send()
             rd_dn.wait_send()
 
+    def one_step_inplace(buf, idx, slot):
+        """One timestep updating the single resident buffer in place —
+        the ring analogue of the single-chip v8.1 mode
+        (ops/pallas_resident.py one_step_inplace), for shards whose TWO
+        buffers don't fit VMEM (e.g. 16384x1024 over 8 devices: 75.5 MB
+        per shard buffer). Block order is 1..n-1 then 0, so the seam
+        RDMAs still ride under the interior blocks:
+
+        - ascending blocks b >= 2 take their south row from registers
+          (block b-1's OLD last row, saved before its overwrite); block
+          1's south is block 0's old last row, untouched until block 0
+          runs last;
+        - block b < n-1 takes its north row from block b+1's still-old
+          rows; block n-1's north is the incoming halo;
+        - block 0 (last) takes the incoming south halo and block 1's
+          saved old FIRST row as its north; its own body rows are
+          untouched because every write so far hit rows >= by.
+        Every load goes through ``load_rows``, so the saved register
+        rows carry the guarded forcing exactly like the staged seams."""
+        rd_up, rd_dn, top, bot = start_seams(buf, slot)
+
+        carry = {"tot": None, "prev": None, "first": None}
+
+        def block(b, south, north):
+            r0 = b * by
+            body = load_rows(buf, r0, by)
+            if b == 1:
+                carry["first"] = [body[k][0:1, :] for k in range(Q)]
+            old_last = [body[k][by - 1 : by, :] for k in range(Q)]
+            obstacles = obs_ref[r0 : r0 + by, :] != 0
+            streamed = _pull_interior(body, south, north, row_ids, by, nx)
+            new, t = _bgk_update(streamed, obstacles, omega)
+            buf[:, r0 : r0 + by, :] = new
+            carry["prev"] = old_last
+            t0 = carry["tot"]
+            carry["tot"] = t if t0 is None else t0 + t
+
+        if n_blocks == 1:
+            south, north = seam_rows(rd_up, rd_dn, slot, top, bot)
+            block(0, south, north)
+        else:
+            # --- interior blocks overlap the seam transfer -----------
+            for b in range(1, n_blocks - 1):
+                south = (carry["prev"] if b > 1
+                         else load_rows(buf, by - 1, 1))
+                block(b, south, load_rows(buf, b * by + by, 1))
+            south, north = seam_rows(rd_up, rd_dn, slot, top, bot)
+            b = n_blocks - 1
+            block(b, carry["prev"] if b > 1
+                  else load_rows(buf, by - 1, 1), north)
+            block(0, south, carry["first"])
+        tot_ref[0, idx] = carry["tot"]
+        if n_shards > 1:
+            rd_up.wait_send()
+            rd_dn.wait_send()
+
     # --- whole-state copy-in (once per G steps) -----------------------
     cp_in = pltpu.make_async_copy(interior_ref, buf_a, copy_sem)
     cp_in.start()
     cp_in.wait()
 
-    # G steps as G//2 A->B->A pairs; slot parity is static per half.
+    # G steps as G//2 pairs (A->B->A buffer parity, or two in-place
+    # updates); the RDMA slot parity is static per half either way.
     def pair(i, carry):
-        one_step(buf_a, buf_b, 2 * i, 0)
-        one_step(buf_b, buf_a, 2 * i + 1, 1)
+        if inplace:
+            one_step_inplace(buf_a, 2 * i, 0)
+            one_step_inplace(buf_a, 2 * i + 1, 1)
+        else:
+            one_step(buf_a, buf_b, 2 * i, 0)
+            one_step(buf_b, buf_a, 2 * i + 1, 1)
         return carry
 
     lax.fori_loop(0, gsteps // 2, pair, 0)
@@ -271,10 +377,11 @@ def _pallas_ring(cells, obs_i8, accel_mask, *, omega_f, accel, gsteps,
     by = _pick_block_rows(h, nx)
     assert h % by == 0 and gsteps >= 2 and gsteps % 2 == 0, (h, by, gsteps)
     state_bytes = q * h * nx * 4
+    inplace = _inplace_mode(state_bytes, _ring_aux_bytes(h, nx))
     kernel = functools.partial(
         _kernel_ring, by=by, h=h, omega=np.float32(omega_f), accel=accel,
         gsteps=gsteps, n_shards=n_shards,
-        dynamic_accel=accel_mask is not None,
+        dynamic_accel=accel_mask is not None, inplace=inplace,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -297,15 +404,14 @@ def _pallas_ring(cells, obs_i8, accel_mask, *, omega_f, accel, gsteps,
             jax.ShapeDtypeStruct((1, gsteps), jnp.float32),
         ],
         scratch_shapes=(
-            [pltpu.VMEM((q, h, nx), jnp.float32)] * 2
+            [pltpu.VMEM((q, h, nx), jnp.float32)] * (1 if inplace else 2)
             + [seam] * 8
             + [pltpu.SemaphoreType.DMA] * 9
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
                 _VMEM_CAP,
-                2 * state_bytes + 2 * h * nx
-                + 8 * Q * nx * 4 + (24 << 20),
+                _ring_vmem_bytes(1 if inplace else 2, h, nx, by),
             ),
             collective_id=0,
         ),
@@ -327,20 +433,26 @@ def ring_prefs(local_rows: int, lanes: int,
 
     Qualify = LBM_SHARD_RESIDENT=1 (experimental opt-in — see module
     docstring; "0"/unset keeps the proven blocked seam-ppermute path),
-    two resident f32 shard buffers + masks + seam slots fit the
-    scoped-VMEM ceiling, the block plan tiles the shard evenly, and on
-    real TPU the same 8-aligned-rows rule as the blocked sharded path
-    (resolve_shard_kernel). ``backend`` overrides the backend probe so
-    analysis paths never initialise a backend (CLAUDE.md)."""
+    the resident f32 shard buffer(s) — two in double-buffer mode, one
+    for the ~75-78 MB in-place window (same ``_inplace_mode`` rule and
+    LBM_RESIDENT_INPLACE override as the single-chip v8.1 kernel) — +
+    masks + seam slots fit the scoped-VMEM ceiling, the block plan
+    tiles the shard evenly, and on real TPU the same 8-aligned-rows
+    rule as the blocked sharded path (resolve_shard_kernel).
+    ``backend`` overrides the backend probe so analysis paths never
+    initialise a backend (CLAUDE.md)."""
     if os.environ.get("LBM_SHARD_RESIDENT") != "1":
         return None
     if local_rows < 2:
         return None
     state_bytes = Q * local_rows * lanes * 4
-    if 2 * state_bytes + 2 * local_rows * lanes + (24 << 20) > _VMEM_CAP:
-        return None
+    n_bufs = 1 if _inplace_mode(
+        state_bytes, _ring_aux_bytes(local_rows, lanes)
+    ) else 2
     by = _pick_block_rows(local_rows, lanes)
     if local_rows % by:
+        return None
+    if _ring_vmem_bytes(n_bufs, local_rows, lanes, by) > _VMEM_CAP:
         return None
     if (backend or jax.default_backend()) == "tpu" and (
         local_rows % 8 or by % 8

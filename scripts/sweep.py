@@ -63,13 +63,20 @@ def run_config(grid, kernel, n_devices, iters, repeats):
     # "ring" = the v9 sharded VMEM-resident ring kernel
     # (parallel/resident_ring.py): the pallas path with
     # LBM_SHARD_RESIDENT=1, always routed through the sharded builders
-    # (a 1-device ring closes on itself).
-    ring = kernel == "ring"
+    # (a 1-device ring closes on itself). "ring-inplace" additionally
+    # forces the single-buffer in-place mode (production trigger:
+    # ~75-MB shards, e.g. 16384x1024 over 8 devices) on the tiny
+    # functional grids.
+    ring = kernel in ("ring", "ring-inplace")
     kernel_impl = "pallas" if ring else kernel
     if ring:
         os.environ["LBM_SHARD_RESIDENT"] = "1"
     else:
         os.environ.pop("LBM_SHARD_RESIDENT", None)
+    if kernel == "ring-inplace":
+        os.environ["LBM_RESIDENT_INPLACE"] = "1"
+    else:
+        os.environ.pop("LBM_RESIDENT_INPLACE", None)
 
     nx, ny, default_iters, accel = GRID_SCENES[grid]
     iters = iters or min(default_iters, 2000)

@@ -50,13 +50,18 @@ def check_case(name, nx, ny, iters, ring=False):
     else:
         os.environ.pop("LBM_SHARD_RESIDENT", None)
     transposed, decomp, _, _ = plan_sharding(params, mesh, "pallas")
+    inplace = None
     if ring:
-        from lbm_tpu.parallel.resident_ring import RingShardImpl
+        from lbm_tpu.parallel import resident_ring as rr
 
         segs = _shard_segments(params, decomp, "pallas", iters, transposed)
-        assert isinstance(segs[0][0], RingShardImpl), (
+        assert isinstance(segs[0][0], rr.RingShardImpl), (
             f"{name}: planner did not select the ring impl"
         )
+        rows, lanes = (nx, ny) if transposed else (ny, nx)
+        inplace = bool(rr._inplace_mode(
+            rr.Q * rows * lanes * 4, rr._ring_aux_bytes(rows, lanes)
+        ))
 
     base = run_simulation(params, obstacles, kernel="reference")
     solo = run_simulation(params, obstacles, kernel="pallas")
@@ -93,6 +98,7 @@ def check_case(name, nx, ny, iters, ring=False):
         "iters": iters,
         "backend": jax.default_backend(),
         "transposed_plan": bool(transposed),
+        "ring_inplace": inplace,
         "vs_unsharded_pallas": {
             "max_av_vels_pct": wrap_av, "max_cells_abs": wrap_cells,
         },
@@ -124,6 +130,14 @@ def main(argv=None):
         # would need two 37.7 MB buffers + slack > the scoped cap).
         ("pallas/resident-ring", 512, 1024, True),
         ("pallas/resident-ring-x", 2048, 256, True),
+        # Single-buffer IN-PLACE ring mode (auto-selected when two
+        # buffers overflow the scoped cap): these are the exact
+        # per-shard shapes of the production grids on an 8-device mesh
+        # (16384x1024 row-sharded -> 2048x1024; 131072x128 transposed
+        # -> 16384 rows x 128 lanes), so a pass proves the Mosaic
+        # binary the multi-chip in-place ring would run.
+        ("pallas/resident-ring-inplace", 1024, 2048, True),
+        ("pallas/resident-ring-inplace-x", 16384, 128, True),
     ]
     # Per-case error capture so one failed Mosaic compile still yields a
     # written artifact with the other cases' results (a hung device call

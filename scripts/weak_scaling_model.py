@@ -46,18 +46,24 @@ SHARDS = [
     ("131072x128 per chip", 131072, 128, 28.34, 8),
 ]
 # v9 ring residency (parallel/resident_ring.py, LBM_SHARD_RESIDENT=1):
-# per-shard VMEM residency caps the shard at ~19 MB of state (two
-# buffers + slack under the 100 MiB scoped cap — no in-place mode), so
-# its weak-scaling shape is 512x1024 PER CHIP at the measured marginal
-# resident rate for ~19 MB states (docs/artifacts/
-# resident_crossover.json, grid 1024x512: 15.2 GLUPS). Seams are 9
-# speeds x 1 row both directions EVERY step (vs the blocked path's
-# QP(16)-padded D-deep entries per D steps), and the transfer is
-# started before the interior-block compute, so only the part of
-# (transfer + latency) longer than the interior window is exposed.
-# The window excludes the two boundary blocks (>= 8 rows each), which
-# cannot start before the seams arrive.
-RING_SHARD = ("512x1024 per chip (ring)", 512, 1024, 15.2)
+# double-buffer residency caps the shard at ~19 MB of state under the
+# 100 MiB scoped cap, so that mode's weak-scaling shape is 512x1024
+# PER CHIP at the measured marginal resident rate for ~19 MB states
+# (docs/artifacts/resident_crossover.json, grid 1024x512: 15.2 GLUPS).
+# The single-buffer IN-PLACE mode extends residency to ~75-MB shards —
+# 2048x1024 per chip, i.e. the flagship 16384x1024 grid on 8 devices —
+# at the measured single-chip in-place rate (docs/PERF.md v8.1:
+# 20.62 GLUPS at 2048x1024). Seams are 9 speeds x 1 row both
+# directions EVERY step (vs the blocked path's QP(16)-padded D-deep
+# entries per D steps), and the transfer is started before the
+# interior-block compute, so only the part of (transfer + latency)
+# longer than the interior window is exposed. The window excludes the
+# two boundary blocks (>= 8 rows each), which cannot start before the
+# seams arrive.
+RING_SHARDS = [
+    ("512x1024 per chip (ring)", 512, 1024, 15.2),
+    ("2048x1024 per chip (ring in-place)", 2048, 1024, 20.62),
+]
 RING_BOUNDARY_ROWS = 16  # two 8-row boundary blocks
 
 
@@ -132,20 +138,26 @@ def main(argv=None):
                   f"halo {r['t_halo_us']:.1f} us -> efficiency "
                   f"{r['efficiency']:.4f}")
 
-    # v9 ring residency: weak scaling at its VMEM-capped shard shape.
-    name, rows, lanes, glups = RING_SHARD
-    ring_rows = [ring_model(rows, lanes, glups, n) for n in devices]
-    results["grids"][name] = ring_rows
-    for r in ring_rows:
-        print(f"{name} n={r['devices']}: compute {r['t_compute_us']:.0f} us, "
-              f"halo {r['t_halo_us']:.1f} us ({r['t_halo_exposed_us']:.1f} "
-              f"exposed) -> efficiency {r['efficiency']:.4f}")
+    # v9 ring residency: weak scaling at its VMEM-capped shard shapes
+    # (double-buffer ~19 MB; in-place ~75 MB = the flagship grid on 8).
+    for name, rows, lanes, glups in RING_SHARDS:
+        ring_rows = [ring_model(rows, lanes, glups, n) for n in devices]
+        results["grids"][name] = ring_rows
+        for r in ring_rows:
+            print(f"{name} n={r['devices']}: "
+                  f"compute {r['t_compute_us']:.0f} us, "
+                  f"halo {r['t_halo_us']:.1f} us "
+                  f"({r['t_halo_exposed_us']:.1f} "
+                  f"exposed) -> efficiency {r['efficiency']:.4f}")
 
     # Ring strong scaling (fixed global 1024x1024): shrinking per-shard
     # rows shrink the interior window that hides the per-step seam
     # latency — the model's answer to "how far does per-step RDMA
     # scale before latency is exposed".
     strong = []
+    # <= 512 local rows is double-buffer territory: the ~19 MB marginal
+    # resident rate applies, not the in-place one.
+    glups = RING_SHARDS[0][3]
     for n in [2, 4, 8, 16, 32, 64]:
         local = 1024 // n
         r = ring_model(local, 1024, glups, n)
@@ -167,8 +179,8 @@ def main(argv=None):
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(6.4, 4.0), dpi=150)
-    colors = ["#2a78d6", "#eb6834", "#2b9a66"]  # categorical slots 1-3
-    plotted = [s[0] for s in SHARDS] + [RING_SHARD[0]]
+    colors = ["#2a78d6", "#eb6834", "#2b9a66", "#8450d8"]  # cat. slots 1-4
+    plotted = [s[0] for s in SHARDS] + [s[0] for s in RING_SHARDS]
     for name, color in zip(plotted, colors):
         rows_n = results["grids"][name]
         xs = [r["devices"] for r in rows_n]

@@ -41,8 +41,16 @@ def test_ring_gating(monkeypatch):
     assert rr.ring_prefs(128, 1024) == rr._G_PREF
     assert rr.ring_gsteps(128, 1024, 20000) == 100
     assert rr.ring_gsteps(128, 1024, 23) is None
-    # Two resident shard buffers must fit the scoped-VMEM ceiling.
+    # The ~75-MB single-buffer window (2048x1024 = 16384x1024 over 8
+    # devices) qualifies via the in-place mode; one buffer that doesn't
+    # fit the scoped-VMEM ceiling disqualifies.
+    assert rr.ring_prefs(2048, 1024) == rr._G_PREF
     assert rr.ring_prefs(4096, 1024) is None
+    # LBM_RESIDENT_INPLACE=0 pins double-buffer mode -> 2048x1024 no
+    # longer fits.
+    monkeypatch.setenv("LBM_RESIDENT_INPLACE", "0")
+    assert rr.ring_prefs(2048, 1024) is None
+    monkeypatch.delenv("LBM_RESIDENT_INPLACE")
     # Degenerate single-row shards can't form a block plan.
     assert rr.ring_prefs(1, 128) is None
     # On real TPU the blocked path's 8-aligned-rows rule applies.
@@ -186,6 +194,128 @@ def test_ring_checkpoint_resume(monkeypatch, tmp_path):
     np.testing.assert_allclose(base.cells, resumed.cells, rtol=2e-5,
                                atol=5e-8)
     np.testing.assert_allclose(base.av_vels, resumed.av_vels, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_ring_inplace_matches_unsharded(n_dev, monkeypatch):
+    """LBM_RESIDENT_INPLACE=1 forces the single-buffer in-place mode
+    (production trigger: ~75-MB shards, e.g. 16384x1024 over 8). The
+    2-device case is multi-block (by=8 over 32 local rows), exercising
+    the 1..n-1-then-0 block order with register-carried old edge rows;
+    the 8-device case is the single-block both-halo path."""
+    from lbm_tpu.ops import pallas_fused as pf
+
+    monkeypatch.setenv("LBM_SHARD_RESIDENT", "1")
+    monkeypatch.setenv("LBM_RESIDENT_INPLACE", "1")
+    monkeypatch.setattr(pf, "_SLOT_BYTES", 8 * 9 * 32 * 4)
+    p = small_params(ny=64, nx=32, max_iters=20)
+    segs, _ = ring_segments(p, n_dev, 20)
+    assert isinstance(segs[0][0], rr.RingShardImpl)
+
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas",
+                         mesh=make_mesh(n_dev))
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+
+
+def test_ring_inplace_forced_row_on_shard_edge(monkeypatch):
+    """In-place mode with the forced row ny-2 as the top shard's south
+    seam (local_ny=2) — the saved register rows and staged seams must
+    both carry the guarded forcing."""
+    monkeypatch.setenv("LBM_SHARD_RESIDENT", "1")
+    monkeypatch.setenv("LBM_RESIDENT_INPLACE", "1")
+    rng = np.random.default_rng(58)
+    p = small_params(ny=16, nx=64, max_iters=20)
+    segs, _ = ring_segments(p, 8, 20)
+    assert isinstance(segs[0][0], rr.RingShardImpl)
+
+    obstacles = generate_obstacles(p.nx, p.ny)
+    obstacles[p.ny - 2, :] |= rng.random(p.nx) < 0.3
+    obstacles[p.ny - 2, 5] = False
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas", mesh=make_mesh(8))
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+
+
+def test_ring_inplace_transposed(monkeypatch):
+    """In-place mode on the transposed (x-sharded) layout: static lane
+    forcing applied per-load, saved rows included."""
+    monkeypatch.setenv("LBM_SHARD_RESIDENT", "1")
+    monkeypatch.setenv("LBM_RESIDENT_INPLACE", "1")
+    rng = np.random.default_rng(59)
+    p = small_params(ny=16, nx=128, max_iters=20)
+    segs, transposed = ring_segments(p, 4, 20)
+    assert transposed
+    assert isinstance(segs[0][0], rr.TransposedRingShardImpl)
+
+    obstacles = generate_obstacles(p.nx, p.ny)
+    obstacles |= rng.random((p.ny, p.nx)) < 0.1
+    obstacles[p.ny - 2, 7] = False
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas", mesh=make_mesh(4))
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+
+
+def test_ring_inplace_single_shard(monkeypatch):
+    """n_shards == 1 in-place: the ring closes locally, block 0's seams
+    are the pre-step edge rows loaded before any overwrite."""
+    monkeypatch.setenv("LBM_SHARD_RESIDENT", "1")
+    monkeypatch.setenv("LBM_RESIDENT_INPLACE", "1")
+    from lbm_tpu.ops import pallas_fused as pf
+
+    monkeypatch.setattr(pf, "_SLOT_BYTES", 8 * 9 * 32 * 4)
+    p = small_params(ny=64, nx=32, max_iters=20)
+    segs, _ = ring_segments(p, 1, 20)
+    assert isinstance(segs[0][0], rr.RingShardImpl)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas", mesh=make_mesh(1))
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+
+
+def test_ring_inplace_protocol_race_free(monkeypatch):
+    """The in-place step reorders blocks around the seam waits — run
+    its full protocol under the interpreter's vector-clock race
+    detector like the double-buffer variant."""
+    monkeypatch.setenv("LBM_SHARD_RESIDENT", "1")
+    monkeypatch.setenv("LBM_RESIDENT_INPLACE", "1")
+    monkeypatch.setenv("LBM_RING_DETECT_RACES", "1")
+    monkeypatch.setenv("LBM_RESIDENT_STEPS", "8")
+    p = small_params(ny=32, nx=32, max_iters=8)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas", mesh=make_mesh(4))
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+
+
+def test_ring_non_divisor_padding(monkeypatch):
+    """Non-divisor device counts (wall-shielded obstacle-row padding,
+    halo.plan_row_padding) compose with the ring path: ny=46 over 3
+    devices pads to 48 and the padded 16-row shards go VMEM-resident."""
+    monkeypatch.setenv("LBM_SHARD_RESIDENT", "1")
+    monkeypatch.setenv("LBM_RESIDENT_STEPS", "4")
+    p = small_params(ny=46, nx=64, max_iters=8)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    # The PADDED plan (ny=48, 16-row shards) must select the ring impl.
+    from lbm_tpu.parallel.halo import pad_scene, plan_row_padding
+
+    mesh3 = make_mesh(3)
+    pad = plan_row_padding(p, obstacles, mesh3, "pallas")
+    assert pad == 2
+    pp, _ = pad_scene(p, obstacles, pad)
+    segs, _ = ring_segments(pp, 3, 8)
+    assert isinstance(segs[0][0], rr.RingShardImpl)
+
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas", mesh=make_mesh(3))
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
 
 
 def test_ring_protocol_race_free(monkeypatch):
