@@ -90,7 +90,7 @@ from lbm_tpu.ops.pallas_fused import (
     AccelSpec,
     transpose_state,
 )
-from lbm_tpu.ops.pallas_resident import _G_PREF, _inplace_mode
+from lbm_tpu.ops.pallas_resident import _G_PREF
 from lbm_tpu.parallel.decomp import AXIS, RowDecomposition
 
 Q = D2Q9.Q
@@ -109,14 +109,34 @@ def _ring_vmem_bytes(n_bufs: int, rows: int, lanes: int, by: int) -> int:
     """Scoped-VMEM budget for a ring configuration: the resident
     buffer(s) + masks/seams + an explicit block working-set allowance
     (5 nine-speed row blocks — body, streamed and equilibrium
-    temporaries; the flat 24-MiB slack the single-chip resident kernel
-    uses equals this at its largest by=128/1024-lane blocks, but
-    double-counts for the ring, whose extra mask + seam slots would
-    otherwise push the proven ~75-MB in-place window just past the
-    ceiling)."""
+    temporaries; ~22.5 MiB at the largest by=128/1024-lane blocks,
+    close to — slightly tighter than — the flat 24-MiB slack the
+    single-chip resident kernel uses, which double-counts for the
+    ring, whose extra mask + seam slots would otherwise push the
+    proven ~75-MB in-place window just past the ceiling)."""
     working = max(5 * Q * by * lanes * 4, 8 << 20)
     return n_bufs * Q * rows * lanes * 4 + _ring_aux_bytes(rows, lanes) \
         + working
+
+
+def _ring_n_bufs(rows: int, lanes: int, by: int) -> int | None:
+    """Resident buffer count for a ring shard under ONE sizing rule
+    (review finding: deciding the mode with the single-chip
+    _inplace_mode's flat-slack rule but gating with _ring_vmem_bytes
+    left a disagreement window — e.g. 1008x1024 shards — rejected
+    outright instead of falling back to in-place): 2 when double
+    buffers fit the scoped cap, else 1 when a single buffer does, else
+    None. LBM_RESIDENT_INPLACE forces the mode for A/B (the forced
+    mode must still fit)."""
+    env = os.environ.get("LBM_RESIDENT_INPLACE")
+    if env is not None:
+        n = 1 if env not in ("0", "", "false") else 2
+        return n if _ring_vmem_bytes(n, rows, lanes, by) <= _VMEM_CAP \
+            else None
+    for n in (2, 1):
+        if _ring_vmem_bytes(n, rows, lanes, by) <= _VMEM_CAP:
+            return n
+    return None
 
 
 def _kernel_ring(*refs, by, h, omega, accel, gsteps, n_shards,
@@ -376,8 +396,9 @@ def _pallas_ring(cells, obs_i8, accel_mask, *, omega_f, accel, gsteps,
     q, h, nx = cells.shape
     by = _pick_block_rows(h, nx)
     assert h % by == 0 and gsteps >= 2 and gsteps % 2 == 0, (h, by, gsteps)
-    state_bytes = q * h * nx * 4
-    inplace = _inplace_mode(state_bytes, _ring_aux_bytes(h, nx))
+    n_bufs = _ring_n_bufs(h, nx, by)
+    assert n_bufs is not None, (h, nx, by)
+    inplace = n_bufs == 1
     kernel = functools.partial(
         _kernel_ring, by=by, h=h, omega=np.float32(omega_f), accel=accel,
         gsteps=gsteps, n_shards=n_shards,
@@ -404,14 +425,14 @@ def _pallas_ring(cells, obs_i8, accel_mask, *, omega_f, accel, gsteps,
             jax.ShapeDtypeStruct((1, gsteps), jnp.float32),
         ],
         scratch_shapes=(
-            [pltpu.VMEM((q, h, nx), jnp.float32)] * (1 if inplace else 2)
+            [pltpu.VMEM((q, h, nx), jnp.float32)] * n_bufs
             + [seam] * 8
             + [pltpu.SemaphoreType.DMA] * 9
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
                 _VMEM_CAP,
-                _ring_vmem_bytes(1 if inplace else 2, h, nx, by),
+                _ring_vmem_bytes(n_bufs, h, nx, by),
             ),
             collective_id=0,
         ),
@@ -434,10 +455,10 @@ def ring_prefs(local_rows: int, lanes: int,
     Qualify = LBM_SHARD_RESIDENT=1 (experimental opt-in — see module
     docstring; "0"/unset keeps the proven blocked seam-ppermute path),
     the resident f32 shard buffer(s) — two in double-buffer mode, one
-    for the ~75-78 MB in-place window (same ``_inplace_mode`` rule and
-    LBM_RESIDENT_INPLACE override as the single-chip v8.1 kernel) — +
-    masks + seam slots fit the scoped-VMEM ceiling, the block plan
-    tiles the shard evenly, and on real TPU the same 8-aligned-rows
+    for the ~75-78 MB in-place window (``_ring_n_bufs``; the
+    LBM_RESIDENT_INPLACE override of the single-chip v8.1 kernel
+    forces the mode) — + masks + seam slots fit the scoped-VMEM
+    ceiling, the block plan tiles the shard evenly, and on real TPU the same 8-aligned-rows
     rule as the blocked sharded path (resolve_shard_kernel).
     ``backend`` overrides the backend probe so analysis paths never
     initialise a backend (CLAUDE.md)."""
@@ -445,14 +466,10 @@ def ring_prefs(local_rows: int, lanes: int,
         return None
     if local_rows < 2:
         return None
-    state_bytes = Q * local_rows * lanes * 4
-    n_bufs = 1 if _inplace_mode(
-        state_bytes, _ring_aux_bytes(local_rows, lanes)
-    ) else 2
     by = _pick_block_rows(local_rows, lanes)
     if local_rows % by:
         return None
-    if _ring_vmem_bytes(n_bufs, local_rows, lanes, by) > _VMEM_CAP:
+    if _ring_n_bufs(local_rows, lanes, by) is None:
         return None
     if (backend or jax.default_backend()) == "tpu" and (
         local_rows % 8 or by % 8

@@ -123,8 +123,11 @@ def main(argv=None):
             "edge_channels": QP,
             "fusion_depth": {n: d for n, _, _, _, d in SHARDS},
             "compute": "measured v6.5 single-chip GLUPS (docs/PERF.md); "
-                       "ring rows use the measured marginal resident rate "
-                       "for ~19 MB states (resident_crossover.json)",
+                       "the double-buffer ring row uses the measured "
+                       "marginal resident rate for ~19 MB states "
+                       "(resident_crossover.json); the in-place ring row "
+                       "uses the measured single-chip v8.1 in-place rate "
+                       "at 2048x1024 (docs/PERF.md: 20.62 GLUPS)",
             "ring_boundary_rows": RING_BOUNDARY_ROWS,
         },
         "reference_halo_fraction": 0.23,  # report_mpi/report.tex:164-165

@@ -46,6 +46,12 @@ def test_ring_gating(monkeypatch):
     # fit the scoped-VMEM ceiling disqualifies.
     assert rr.ring_prefs(2048, 1024) == rr._G_PREF
     assert rr.ring_prefs(4096, 1024) is None
+    # One sizing rule for mode + gate (_ring_n_bufs): shapes where the
+    # by-dependent working set pushes TWO buffers past the cap fall
+    # back to in-place instead of being rejected (1008x1024: by=168,
+    # double 107.7 MB > cap, single 70.5 MB fits).
+    assert rr._ring_n_bufs(1008, 1024, 168) == 1
+    assert rr.ring_prefs(1008, 1024) == rr._G_PREF
     # LBM_RESIDENT_INPLACE=0 pins double-buffer mode -> 2048x1024 no
     # longer fits.
     monkeypatch.setenv("LBM_RESIDENT_INPLACE", "0")
