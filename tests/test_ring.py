@@ -324,6 +324,35 @@ def test_ring_non_divisor_padding(monkeypatch):
     np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
 
 
+def test_ring_checkpoint_resume_across_modes(monkeypatch, tmp_path):
+    """A checkpoint written by the double-buffer ring resumes under the
+    forced in-place mode (and the trajectory still matches): the
+    carry is the lattice alone, so the checkpoint format is
+    buffer-mode-independent — a mode flip between runs (e.g. a changed
+    LBM_RESIDENT_INPLACE override or VMEM-cap setting) must not change
+    physics."""
+    monkeypatch.setenv("LBM_SHARD_RESIDENT", "1")
+    monkeypatch.setenv("LBM_RESIDENT_STEPS", "4")
+    mesh = make_mesh(4)
+    p = small_params(ny=64, nx=32, max_iters=20)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+
+    monkeypatch.setenv("LBM_RESIDENT_INPLACE", "0")
+    run_simulation(
+        p, obstacles, kernel="pallas", mesh=mesh, n_iters=12,
+        checkpoint_every=12, checkpoint_file=tmp_path / "ck.npz",
+    )
+    monkeypatch.setenv("LBM_RESIDENT_INPLACE", "1")
+    resumed = run_simulation(
+        p, obstacles, kernel="pallas", mesh=mesh,
+        resume_from=tmp_path / "ck.npz",
+    )
+    np.testing.assert_allclose(base.cells, resumed.cells, rtol=2e-5,
+                               atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, resumed.av_vels, rtol=1e-4)
+
+
 def test_ring_protocol_race_free(monkeypatch):
     """Run the full ring protocol under the interpreter's vector-clock
     race detector — the audit that caught the shared-recv-semaphore
