@@ -240,13 +240,23 @@ def _kernel_resident(
     cp_out.wait()
 
 
+def _inplace_override() -> bool | None:
+    """The LBM_RESIDENT_INPLACE A/B override, parsed ONCE for both the
+    single-chip and sharded-ring kernels (one knob, one spelling rule):
+    None = unset (automatic), else the forced mode."""
+    env = os.environ.get("LBM_RESIDENT_INPLACE")
+    if env is None:
+        return None
+    return env not in ("0", "", "false")
+
+
 def _inplace_mode(state_bytes: int, mask_bytes: int) -> bool:
     """Single-buffer in-place stepping when two resident buffers don't
     fit the scoped-VMEM ceiling (extends residency up to ~75 MB states,
     e.g. 2048x1024); LBM_RESIDENT_INPLACE=1/0 forces for A/B."""
-    env = os.environ.get("LBM_RESIDENT_INPLACE")
-    if env is not None:
-        return env not in ("0", "", "false")
+    forced = _inplace_override()
+    if forced is not None:
+        return forced
     return 2 * state_bytes + mask_bytes + (24 << 20) > _VMEM_CAP
 
 

@@ -61,8 +61,10 @@ Default OFF: the blocked seam-ppermute path (parallel/halo.py) stays
 the production sharded default because this kernel's Mosaic lowering
 and per-step RDMA latency are unproven on real multi-chip hardware
 (none is reachable from this environment — CLAUDE.md); correctness is
-proven bit-exact against the unsharded trajectory on the interpret
-mesh. Opt in with LBM_SHARD_RESIDENT=1.
+proven against the unsharded trajectory on the interpret mesh at
+f32-reassociation level (rtol 2e-5 — this kernel sums per-block tots
+in its own order, so bit-level gates don't apply). Opt in with
+LBM_SHARD_RESIDENT=1.
 """
 
 from __future__ import annotations
@@ -90,10 +92,21 @@ from lbm_tpu.ops.pallas_fused import (
     AccelSpec,
     transpose_state,
 )
-from lbm_tpu.ops.pallas_resident import _G_PREF
+from lbm_tpu.ops.pallas_resident import _G_PREF, _inplace_override
 from lbm_tpu.parallel.decomp import AXIS, RowDecomposition
 
 Q = D2Q9.Q
+
+# Scoped-VMEM ceiling for ring configurations. The ring's explicit
+# budget (_ring_vmem_bytes) can exceed the default 100-MiB scoped cap
+# slightly on the 75.5-MB in-place window once the seam buffers' tile
+# padding is counted honestly (~100.8 MiB at 2048x1024); the hardware
+# has 128 MiB and raised ceilings are legal (see _VMEM_CAP's note in
+# ops/pallas_fused.py — ~120-MiB blocked configs compile), so allow up
+# to 112 MiB, keeping >= 16 MiB for Mosaic-internal buffers.
+_RING_VMEM_CEIL = int(
+    os.environ.get("LBM_RING_VMEM_CEIL", 112 * 1024 * 1024)
+)
 
 
 def _ring_aux_bytes(rows: int, lanes: int) -> int:
@@ -101,19 +114,22 @@ def _ring_aux_bytes(rows: int, lanes: int) -> int:
     buffer(s): the int8 masks (obstacles + the dynamic accel mask of
     the row-sharded path — counted for the transposed path too so the
     in-place decision is layout-independent) and the 8 seam slot
-    buffers (2 directions x 2 slots x stage/halo)."""
-    return 2 * rows * lanes + 8 * Q * lanes * 4
+    buffers (2 directions x 2 slots x stage/halo), each a (Q, 1, nx)
+    f32 buffer whose single row pads to a full (8, 128) sublane tile
+    (review finding: the unpadded count understated these 8x)."""
+    return 2 * rows * lanes + 8 * Q * 8 * lanes * 4
 
 
 def _ring_vmem_bytes(n_bufs: int, rows: int, lanes: int, by: int) -> int:
     """Scoped-VMEM budget for a ring configuration: the resident
-    buffer(s) + masks/seams + an explicit block working-set allowance
-    (5 nine-speed row blocks — body, streamed and equilibrium
+    buffer(s) + masks/tile-padded seams + an explicit block working-set
+    allowance (5 nine-speed row blocks — body, streamed and equilibrium
     temporaries; ~22.5 MiB at the largest by=128/1024-lane blocks,
-    close to — slightly tighter than — the flat 24-MiB slack the
-    single-chip resident kernel uses, which double-counts for the
-    ring, whose extra mask + seam slots would otherwise push the
-    proven ~75-MB in-place window just past the ceiling)."""
+    comparable to the flat 24-MiB slack the single-chip resident kernel
+    uses, which would double-count the ring's extra mask + seam
+    slots). At the 75.5-MB in-place window this totals ~100.8 MiB —
+    past the default 100-MiB scoped cap but well under the ring
+    ceiling (_RING_VMEM_CEIL) and the 128-MiB hardware."""
     working = max(5 * Q * by * lanes * 4, 8 << 20)
     return n_bufs * Q * rows * lanes * 4 + _ring_aux_bytes(rows, lanes) \
         + working
@@ -123,20 +139,43 @@ def _ring_n_bufs(rows: int, lanes: int, by: int) -> int | None:
     """Resident buffer count for a ring shard under ONE sizing rule
     (review finding: deciding the mode with the single-chip
     _inplace_mode's flat-slack rule but gating with _ring_vmem_bytes
-    left a disagreement window — e.g. 1008x1024 shards — rejected
+    left a disagreement window — e.g. 1280x1024 shards — rejected
     outright instead of falling back to in-place): 2 when double
-    buffers fit the scoped cap, else 1 when a single buffer does, else
-    None. LBM_RESIDENT_INPLACE forces the mode for A/B (the forced
-    mode must still fit)."""
-    env = os.environ.get("LBM_RESIDENT_INPLACE")
-    if env is not None:
-        n = 1 if env not in ("0", "", "false") else 2
-        return n if _ring_vmem_bytes(n, rows, lanes, by) <= _VMEM_CAP \
+    buffers fit the ring VMEM ceiling, else 1 when a single buffer
+    does, else None. LBM_RESIDENT_INPLACE forces the mode for A/B (the
+    forced mode must still fit)."""
+    forced = _inplace_override()
+    if forced is not None:
+        n = 1 if forced else 2
+        return n if _ring_vmem_bytes(n, rows, lanes, by) <= _RING_VMEM_CEIL \
             else None
     for n in (2, 1):
-        if _ring_vmem_bytes(n, rows, lanes, by) <= _VMEM_CAP:
+        if _ring_vmem_bytes(n, rows, lanes, by) <= _RING_VMEM_CEIL:
             return n
     return None
+
+
+def ring_buffer_mode(rows: int, lanes: int) -> str | None:
+    """'double' | 'inplace' | None for a per-shard shape — the
+    diagnostic the harness scripts record in their artifacts."""
+    by = _pick_block_rows(rows, lanes)
+    if rows % by:
+        return None
+    n = _ring_n_bufs(rows, lanes, by)
+    return None if n is None else ("inplace" if n == 1 else "double")
+
+
+def ring_planned(params: Params, mesh, iters: int,
+                 kernel: str = "pallas") -> bool:
+    """True when the sharding planner's FIRST segment is a ring impl —
+    the selected-the-ring guard all three harnesses need (sweep rows,
+    the driver dryrun, the on-chip Mosaic check), shared so the three
+    hand-rolled copies can't drift (review finding)."""
+    from lbm_tpu.parallel.halo import _shard_segments, plan_sharding
+
+    transposed, decomp, _, _ = plan_sharding(params, mesh, kernel)
+    segs = _shard_segments(params, decomp, kernel, iters, transposed)
+    return isinstance(segs[0][0], RingShardImpl)
 
 
 def _kernel_ring(*refs, by, h, omega, accel, gsteps, n_shards,
@@ -195,7 +234,7 @@ def _kernel_ring(*refs, by, h, omega, accel, gsteps, n_shards,
         ok = _accel_ok(vals, fluid_f, accel, line_f)
         return _accelerated(vals, ok, accel)
 
-    def line_factor(r0, m, blk=None):
+    def line_factor(r0, m):
         """f32 0/1 forced-line indicator for rows [r0, r0+m): the
         dynamic mask rows under row sharding, the static lane column
         when transposed."""
@@ -431,7 +470,7 @@ def _pallas_ring(cells, obs_i8, accel_mask, *, omega_f, accel, gsteps,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
-                _VMEM_CAP,
+                _RING_VMEM_CEIL,
                 _ring_vmem_bytes(n_bufs, h, nx, by),
             ),
             collective_id=0,

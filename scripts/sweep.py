@@ -90,26 +90,20 @@ def run_config(grid, kernel, n_devices, iters, repeats):
 
     if n_devices > 1 or ring:
         from lbm_tpu.parallel.decomp import make_mesh
-        from lbm_tpu.parallel.halo import (
-            _shard_segments, make_sharded_simulate, plan_sharding,
-            shard_inputs,
-        )
+        from lbm_tpu.parallel.halo import make_sharded_simulate, shard_inputs
 
         mesh = make_mesh(n_devices)
         if ring:
             # A non-qualifying config would silently fall back to the
             # blocked path and be recorded under the wrong kernel name
-            # — fail the row instead (same guard as __graft_entry__ and
-            # tpu_mosaic_check).
-            from lbm_tpu.parallel.resident_ring import RingShardImpl
+            # — fail the row instead (shared guard, also used by
+            # __graft_entry__ and tpu_mosaic_check).
+            from lbm_tpu.parallel.resident_ring import ring_planned
 
-            transposed, decomp, _, _ = plan_sharding(params, mesh, "pallas")
-            segs = _shard_segments(params, decomp, "pallas", iters,
-                                   transposed)
-            if not isinstance(segs[0][0], RingShardImpl):
+            if not ring_planned(params, mesh, iters):
                 raise RuntimeError(
                     f"{grid}@{n_devices}dev/{iters}it did not select the "
-                    f"ring impl (got {type(segs[0][0]).__name__})"
+                    "ring impl"
                 )
         simulate = make_sharded_simulate(params, mesh, kernel=kernel_impl)
         # params/kernel select the same placement plan_sharding chose

@@ -31,7 +31,7 @@ def check_case(name, nx, ny, iters, ring=False):
     from lbm_tpu.obstacles import generate_obstacles
     from lbm_tpu.params import Params
     from lbm_tpu.parallel.decomp import make_mesh
-    from lbm_tpu.parallel.halo import _shard_segments, plan_sharding
+    from lbm_tpu.parallel.halo import plan_sharding
     from lbm_tpu.runner import run_simulation
 
     params = Params(
@@ -50,18 +50,15 @@ def check_case(name, nx, ny, iters, ring=False):
     else:
         os.environ.pop("LBM_SHARD_RESIDENT", None)
     transposed, decomp, _, _ = plan_sharding(params, mesh, "pallas")
-    inplace = None
+    buffer_mode = None
     if ring:
         from lbm_tpu.parallel import resident_ring as rr
 
-        segs = _shard_segments(params, decomp, "pallas", iters, transposed)
-        assert isinstance(segs[0][0], rr.RingShardImpl), (
+        assert rr.ring_planned(params, mesh, iters), (
             f"{name}: planner did not select the ring impl"
         )
         rows, lanes = (nx, ny) if transposed else (ny, nx)
-        inplace = bool(rr._inplace_mode(
-            rr.Q * rows * lanes * 4, rr._ring_aux_bytes(rows, lanes)
-        ))
+        buffer_mode = rr.ring_buffer_mode(rows, lanes)
 
     base = run_simulation(params, obstacles, kernel="reference")
     solo = run_simulation(params, obstacles, kernel="pallas")
@@ -98,7 +95,7 @@ def check_case(name, nx, ny, iters, ring=False):
         "iters": iters,
         "backend": jax.default_backend(),
         "transposed_plan": bool(transposed),
-        "ring_inplace": inplace,
+        "ring_buffer_mode": buffer_mode,
         "vs_unsharded_pallas": {
             "max_av_vels_pct": wrap_av, "max_cells_abs": wrap_cells,
         },

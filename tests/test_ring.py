@@ -47,11 +47,16 @@ def test_ring_gating(monkeypatch):
     assert rr.ring_prefs(2048, 1024) == rr._G_PREF
     assert rr.ring_prefs(4096, 1024) is None
     # One sizing rule for mode + gate (_ring_n_bufs): shapes where the
-    # by-dependent working set pushes TWO buffers past the cap fall
-    # back to in-place instead of being rejected (1008x1024: by=168,
-    # double 107.7 MB > cap, single 70.5 MB fits).
-    assert rr._ring_n_bufs(1008, 1024, 168) == 1
-    assert rr.ring_prefs(1008, 1024) == rr._G_PREF
+    # by-dependent working set pushes TWO buffers past the ring ceiling
+    # fall back to in-place instead of being rejected (1280x1024:
+    # by=160, double 128.8 MB > 112-MiB ceiling, single 81.7 MB fits).
+    assert rr._ring_n_bufs(1280, 1024, 160) == 1
+    assert rr.ring_prefs(1280, 1024) == rr._G_PREF
+    assert rr.ring_buffer_mode(1280, 1024) == "inplace"
+    assert rr.ring_buffer_mode(2048, 1024) == "inplace"
+    assert rr.ring_buffer_mode(16384, 128) == "inplace"
+    assert rr.ring_buffer_mode(512, 1024) == "double"
+    assert rr.ring_buffer_mode(4096, 1024) is None
     # LBM_RESIDENT_INPLACE=0 pins double-buffer mode -> 2048x1024 no
     # longer fits.
     monkeypatch.setenv("LBM_RESIDENT_INPLACE", "0")
@@ -222,6 +227,31 @@ def test_ring_inplace_matches_unsharded(n_dev, monkeypatch):
     base = run_simulation(p, obstacles, kernel="reference")
     got = run_simulation(p, obstacles, kernel="pallas",
                          mesh=make_mesh(n_dev))
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+
+
+def test_ring_inplace_two_blocks(monkeypatch):
+    """n_blocks == 2, the branch between the single-block and >=3-block
+    paths (review coverage gap): block 1 takes its south via the direct
+    pre-step load (not the register carry), runs AFTER the seam wait,
+    and captures block 0's north; no interior block overlaps the
+    transfer."""
+    from lbm_tpu.ops import pallas_fused as pf
+
+    monkeypatch.setenv("LBM_SHARD_RESIDENT", "1")
+    monkeypatch.setenv("LBM_RESIDENT_INPLACE", "1")
+    monkeypatch.setattr(pf, "_SLOT_BYTES", 8 * 9 * 32 * 4)
+    p = small_params(ny=32, nx=32, max_iters=20)
+    segs, _ = ring_segments(p, 2, 20)
+    assert isinstance(segs[0][0], rr.RingShardImpl)
+    from lbm_tpu.ops.pallas_fused import _pick_block_rows
+
+    assert _pick_block_rows(16, 32) == 8  # 16 local rows -> 2 blocks
+
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+    got = run_simulation(p, obstacles, kernel="pallas", mesh=make_mesh(2))
     np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
     np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
 
