@@ -101,3 +101,23 @@ class RowDecomposition:
     def accel_row(self) -> int:
         """Global index of the forced row (ny-2, d2q9-bgk.c:240)."""
         return self.ny - 2
+
+    def local_accel_row(self):
+        """Shard-local index of the forced row as a traced value — the
+        reference's rank_accelerate remapping (d2q9-bgk.c:498); may lie
+        outside [0, local_ny) on non-owner shards. Must be called
+        inside shard_map (reads axis_index). One definition for every
+        shard impl (reference, blocked pallas, resident ring)."""
+        my = jax.lax.axis_index(AXIS)
+        return np.int32(self.accel_row) - my * np.int32(self.local_ny)
+
+    def accel_mask_i8(self, width: int):
+        """(local_ny, width) int8 forced-row mask built once per run
+        from :meth:`local_accel_row` — the in-kernel dynamic-accel
+        input of the sharded pallas paths."""
+        import jax.numpy as jnp
+
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (self.local_ny, width), 0
+        )
+        return (rows == self.local_accel_row()).astype(jnp.int8)

@@ -25,8 +25,6 @@ collate, d2q9-bgk.c:395-447).
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -84,8 +82,7 @@ class _ReferenceShardImpl:
 
     def step(self, cells, obstacles):
         p, d = self.params, self.decomp
-        my = lax.axis_index(AXIS)
-        local_row = np.int32(d.accel_row) - my * np.int32(d.local_ny)
+        local_row = d.local_accel_row()
         active = (local_row >= 0) & (local_row < d.local_ny)
         cells = ref_ops.accelerate_flow_dynamic(
             cells, obstacles, p.accel_w1, p.accel_w2, local_row, active
@@ -122,7 +119,6 @@ class _PallasShardImpl:
         self.decomp = decomp
         h_local, lanes = self._local_shape(params, decomp)
         by = pf._pick_block_rows(h_local, lanes)
-        self._by = by
         # Temporal fusion (depth steps per pass, pallas_fused._kernel_fused)
         # needs 8-aligned blocks; the deeper edge entries ride the same
         # ppermute pattern, so the halo machinery is unchanged.
@@ -138,20 +134,8 @@ class _PallasShardImpl:
     def _local_shape(params: Params, decomp: RowDecomposition):
         return decomp.local_ny, params.nx
 
-    def _local_accel_row(self):
-        """Shard-local index of the forced row (the reference's
-        rank_accelerate remapping, d2q9-bgk.c:498); may be out of local
-        range on non-owner shards."""
-        d = self.decomp
-        my = lax.axis_index(AXIS)
-        return np.int32(d.accel_row) - my * np.int32(d.local_ny)
-
     def prepare(self, obstacles):
-        d = self.decomp
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, (d.local_ny, obstacles.shape[1]), 0
-        )
-        accel_mask = (rows == self._local_accel_row()).astype(jnp.int8)
+        accel_mask = self.decomp.accel_mask_i8(obstacles.shape[1])
         return (obstacles, obstacles.astype(jnp.int8), accel_mask)
 
     def init(self, cells, prepared):
@@ -239,10 +223,39 @@ class _TransposedPallasShardImpl(_PallasShardImpl):
         return transpose_state(carry[0])
 
 
-def _resolve_kernel(kernel: str) -> str:
+def _resolve_kernel(kernel: str, params: Params) -> str:
+    """Resolve ``auto`` with the SAME rule everywhere (TPU backend and
+    float32 — the pallas kernels are f32-only), so plan_sharding,
+    plan_row_padding and resolve_shard_kernel can never disagree about
+    which plan a given configuration runs (review finding: a missing
+    dtype gate here let plan_sharding('auto') return a transposed
+    pallas plan for an f64 wide grid the built program would never
+    use)."""
     if kernel == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "reference"
+        return (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and params.dtype == np.float32
+            else "reference"
+        )
     return kernel
+
+
+def _wide_transposed_plan(params: Params, n: int) -> bool:
+    """The wide-grid x-sharding gate, shared by plan_sharding and
+    plan_row_padding — the two must agree or padding would fight the
+    plan (review finding: previously hand-duplicated). nx is the
+    transposed lattice's sharded rows: it must divide the mesh, stay
+    8-aligned, and on real TPU keep 8-aligned PER-SHARD rows (a wide
+    grid whose transposed shards misalign must take the row plan —
+    which plan_row_padding can always align — rather than demote to
+    the reference kernel in resolve_shard_kernel)."""
+    return (
+        params.nx >= 2 * params.ny
+        and params.nx % n == 0
+        and params.nx % 8 == 0
+        and (jax.default_backend() != "tpu" or (params.nx // n) % 8 == 0)
+    )
 
 
 def resolve_shard_kernel(params: Params, mesh: Mesh, kernel: str) -> str:
@@ -254,13 +267,7 @@ def resolve_shard_kernel(params: Params, mesh: Mesh, kernel: str) -> str:
     error instead of a Mosaic compile crash (which can take the TPU
     session down for an hour — CLAUDE.md)."""
     was_auto = kernel == "auto"
-    if was_auto:
-        kernel = (
-            "pallas"
-            if jax.default_backend() == "tpu"
-            and params.dtype == np.float32
-            else "reference"
-        )
+    kernel = _resolve_kernel(kernel, params)
     if kernel == "pallas" and params.dtype != np.float32:
         raise ValueError(
             "the pallas kernel is float32-only; use kernel='reference' "
@@ -305,14 +312,11 @@ def plan_row_padding(params: Params, obstacles, mesh: Mesh,
     Returns 0 when the existing plans (row divisor or the wide-grid
     transposed-x plan) already fit."""
     n = mesh.shape[AXIS]
-    ny, nx = params.ny, params.nx
-    k = _resolve_kernel(kernel)
+    ny = params.ny
+    k = _resolve_kernel(kernel, params)
     on_tpu = jax.default_backend() == "tpu"
-    if k == "pallas" and params.dtype != np.float32:
-        k = "reference"
     # The wide-grid transposed plan shards x; no row padding involved.
-    if (k == "pallas" and nx >= 2 * ny and nx % n == 0 and nx % 8 == 0
-            and (not on_tpu or (nx // n) % 8 == 0)):
+    if k == "pallas" and _wide_transposed_plan(params, n):
         return 0
     # Real-TPU Mosaic needs 8-aligned per-shard rows (resolve_shard_kernel);
     # padding to that unit keeps the pallas kernel instead of demoting.
@@ -323,6 +327,12 @@ def plan_row_padding(params: Params, obstacles, mesh: Mesh,
         return 0
     obs = np.asarray(obstacles, dtype=bool)
     if not (obs[0, :].all() and obs[-1, :].all()):
+        if ny % n == 0:
+            # Alignment-only padding is optional: the row plan already
+            # divides, so let resolve_shard_kernel demote auto to the
+            # reference kernel (or raise its clear explicit-pallas
+            # error) instead of refusing the run (review finding).
+            return 0
         raise ValueError(
             f"ny={ny} does not divide over {n} devices and the obstacle "
             "mask has no full wall rows at both y boundaries, so "
@@ -353,20 +363,8 @@ def plan_sharding(params: Params, mesh: Mesh, kernel: str):
     so each shard's long dimension stays on sublanes.
     Returns (transposed, decomp, cells_spec, obstacles_spec)."""
     n = mesh.shape[AXIS]
-    kernel = _resolve_kernel(kernel)
-    transposed = (
-        kernel == "pallas"
-        and params.nx >= 2 * params.ny
-        and params.nx % n == 0
-        and params.nx % 8 == 0
-        # Real-TPU Mosaic needs 8-aligned PER-SHARD rows; a wide grid
-        # whose transposed shards misalign (e.g. nx=288 over 8 -> 36
-        # rows/shard) must take the row plan — which plan_row_padding
-        # can always align — rather than demote to the reference
-        # kernel in resolve_shard_kernel. Same gate as
-        # plan_row_padding's transposed early-return.
-        and (jax.default_backend() != "tpu" or (params.nx // n) % 8 == 0)
-    )
+    kernel = _resolve_kernel(kernel, params)
+    transposed = kernel == "pallas" and _wide_transposed_plan(params, n)
     if transposed:
         return (
             True,
@@ -550,15 +548,15 @@ def make_sharded_chunk(
 
 
 def shard_inputs(mesh: Mesh, cells: jnp.ndarray, obstacles: jnp.ndarray,
-                 params: Params | None = None, kernel: str = "reference"):
+                 *, params: Params, kernel: str = "reference"):
     """Place the initial state and mask with the shardings the sharded
-    simulate expects (x-decomposed for wide pallas grids when ``params``
-    is given, the reference's row decomposition otherwise)."""
-    if params is not None:
-        kernel = resolve_shard_kernel(params, mesh, kernel)
-        _, _, cells_spec, obs_spec = plan_sharding(params, mesh, kernel)
-    else:
-        cells_spec, obs_spec = P(None, AXIS, None), P(AXIS, None)
+    simulate expects — the same plan make_sharded_simulate selects
+    (x-decomposed for wide pallas grids), so the compiled call never
+    reshards inside the timed region. ``params`` is required: a
+    row-spec guess would silently reshard transposed plans per call
+    (review finding)."""
+    kernel = resolve_shard_kernel(params, mesh, kernel)
+    _, _, cells_spec, obs_spec = plan_sharding(params, mesh, kernel)
     cells_s = jax.device_put(cells, NamedSharding(mesh, cells_spec))
     obs_s = jax.device_put(obstacles, NamedSharding(mesh, obs_spec))
     return cells_s, obs_s

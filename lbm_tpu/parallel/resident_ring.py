@@ -553,15 +553,9 @@ class RingShardImpl:
 
     def prepare(self, obstacles):
         # Forced-row mask from axis_index — the reference's
-        # rank_accelerate remapping (d2q9-bgk.c:498), as in
-        # halo._PallasShardImpl.prepare.
-        d = self.decomp
-        my = lax.axis_index(AXIS)
-        local_row = np.int32(d.accel_row) - my * np.int32(d.local_ny)
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, (d.local_ny, obstacles.shape[1]), 0
-        )
-        accel_mask = (rows == local_row).astype(jnp.int8)
+        # rank_accelerate remapping (d2q9-bgk.c:498), shared with
+        # halo._PallasShardImpl.prepare (decomp.accel_mask_i8).
+        accel_mask = self.decomp.accel_mask_i8(obstacles.shape[1])
         return (obstacles, obstacles.astype(jnp.int8), accel_mask)
 
     def _accel_spec(self) -> AccelSpec:

@@ -388,3 +388,41 @@ class TestNonDivisorPadding:
             plan_row_padding(p, no_walls, make_mesh(3), "reference")
         # CLI-style fallback still available via largest_divisor_leq.
         assert largest_divisor_leq(p.ny, 3) == 2
+
+    def test_alignment_only_padding_optional_without_walls(self,
+                                                           monkeypatch):
+        """Real-TPU pallas wants 8-aligned per-shard rows, so ny=96 over
+        8 devices would pad to 128 — but when the scene has no wall rows
+        AND ny already divides the mesh, padding is optional: return 0
+        and let resolve_shard_kernel demote auto to the reference kernel
+        (review finding: this case used to raise 'ny=96 does not divide
+        over 8 devices', which is false)."""
+        import jax as _jax
+
+        from lbm_tpu.parallel.halo import plan_row_padding
+
+        monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+        p = small_params(ny=96, nx=64)
+        no_walls = np.zeros((p.ny, p.nx), dtype=bool)
+        assert plan_row_padding(p, no_walls, make_mesh(8), "auto") == 0
+        # With walls the alignment padding IS taken (96 -> 128, pad 32).
+        walls = generate_obstacles(p.nx, p.ny)
+        assert plan_row_padding(p, walls, make_mesh(8), "pallas") == 32
+
+    def test_auto_plan_respects_dtype(self, monkeypatch):
+        """plan_sharding('auto') must resolve the kernel with the same
+        f32 gate as resolve_shard_kernel: an f64 wide grid takes the ROW
+        plan (reference kernel), never the transposed pallas plan
+        (review finding: a missing dtype check here could reshard
+        inputs inside the timed region)."""
+        import jax as _jax
+
+        from lbm_tpu.parallel.halo import plan_sharding
+
+        monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+        p = small_params(ny=16, nx=128, dtype=np.float64)
+        transposed, _, _, _ = plan_sharding(p, make_mesh(4), "auto")
+        assert not transposed
+        p32 = small_params(ny=16, nx=128)
+        transposed, _, _, _ = plan_sharding(p32, make_mesh(4), "auto")
+        assert transposed
