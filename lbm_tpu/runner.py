@@ -27,7 +27,7 @@ from jax import lax
 
 from lbm_tpu.params import Params
 from lbm_tpu.obstacles import num_non_obstacles_r
-from lbm_tpu.state import initial_state
+from lbm_tpu.state import D2Q9, initial_state
 from lbm_tpu.observables import calc_reynolds, total_density
 from lbm_tpu.ops import reference as ref_ops
 
@@ -82,7 +82,16 @@ def _resolve_kernel(kernel: str, params: Params) -> str:
                     if pallas_fused.supports_tpu_grid(params.ny, params.nx)
                     else "reference"
                 )
-            except ImportError:
+            except ImportError as exc:
+                # A silent demotion here hides a ~20x slowdown on TPU
+                # (review finding) — demote, but say so.
+                import warnings
+
+                warnings.warn(
+                    "kernel='auto' fell back to the reference kernel: "
+                    f"the pallas kernel failed to import ({exc})",
+                    RuntimeWarning,
+                )
                 kernel = "reference"
         else:
             kernel = "reference"
@@ -311,6 +320,7 @@ def run_simulation(
         )
     iters = params.max_iters if n_iters is None else n_iters
     obstacles = np.asarray(obstacles, dtype=bool)
+    orig_ny = params.ny
     pad_rows = 0
     if mesh is not None:
         # Non-divisor device counts: pad with wall-shielded obstacle rows
@@ -329,8 +339,36 @@ def run_simulation(
     av0 = np.zeros((iters,), dtype=params.dtype)
     if resume_from is not None:
         start_step, cells_np, av_prefix = load_checkpoint(resume_from)
-        start_step = min(start_step, iters)
-        cells0 = jnp.asarray(cells_np.astype(params.dtype))
+        if not 0 <= start_step <= iters:
+            # A clamp here would return the checkpoint's too-advanced
+            # lattice as the "result" of a shorter run (review finding).
+            raise ValueError(
+                f"checkpoint at step {start_step} cannot resume a "
+                f"{iters}-iteration run"
+            )
+        # Reconcile row padding: checkpoints store the PADDED lattice of
+        # the run that wrote them, and this run's device count may pad
+        # differently (review finding: a 6-device 1024->1056-row
+        # checkpoint resumed on 8 divisor devices crashed on shapes).
+        # Pad rows sit behind full wall rows, causally disconnected from
+        # the interior (plan_row_padding), so stripping the writer's pad
+        # and substituting fresh equilibrium pad rows is exact.
+        old_pad = cells_np.shape[1] - orig_ny
+        if (cells_np.shape[0] != D2Q9.Q
+                or cells_np.shape[2] != params.nx or old_pad < 0):
+            raise ValueError(
+                f"checkpoint lattice shape {cells_np.shape} does not "
+                f"match the {orig_ny}x{params.nx} scene"
+            )
+        if old_pad != pad_rows:
+            interior = cells_np[:, old_pad:, :]
+            if pad_rows:
+                fresh = np.array(initial_state(params, dtype=params.dtype))
+                fresh[:, pad_rows:, :] = interior
+                cells_np = fresh
+            else:
+                cells_np = interior
+        cells0 = jnp.asarray(cells_np.astype(params.dtype, copy=False))
         av0[:start_step] = av_prefix[:start_step]
     else:
         cells0 = initial_state(params, dtype=params.dtype)
@@ -341,7 +379,7 @@ def run_simulation(
         with trace_ctx():
             return _run_debug(
                 params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
-                obstacles, start_step, av0,
+                start_step, av0,
                 checkpoint_every=checkpoint_every,
                 checkpoint_file=checkpoint_file,
             )
@@ -402,7 +440,7 @@ def run_simulation(
                 )
                 tt += n
                 if checkpoint_every and checkpoint_file is not None:
-                    _fence(av_vels)
+                    # save_checkpoint's np.asarray is itself the fence.
                     save_checkpoint(checkpoint_file, tt, cells, av_vels)
             _fence(av_vels)
         timers.stop("compute")
@@ -436,13 +474,17 @@ def run_simulation(
 
 
 def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
-               obstacles, start_step=0, av0=None,
+               start_step=0, av0=None,
                checkpoint_every=None, checkpoint_file=None):
     """Python-loop path printing the reference's -DDEBUG block per step
     (d2q9-bgk.c:198-202); resumes mid-trajectory when given a start step
     and av prefix, and honours periodic checkpointing like the jitted
     path."""
-    step = jax.jit(_select_step(kernel, params))
+    # AOT-compile during init so the first-call compile (70-120 s on the
+    # tunnelled TPU) lands in the init timer like every other path.
+    step = jax.jit(_select_step(kernel, params)).lower(
+        cells0, obs_dev
+    ).compile()
     cells = cells0
     av = np.zeros((iters,), dtype=params.dtype) if av0 is None else av0
     timers.stop("init")

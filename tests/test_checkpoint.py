@@ -203,3 +203,71 @@ def test_checkpoint_every_requires_file():
     obstacles = generate_obstacles(p.nx, p.ny)
     with pytest.raises(ValueError, match="checkpoint_file"):
         run_simulation(p, obstacles, kernel="reference", checkpoint_every=4)
+
+
+def test_resume_past_requested_iters_rejected(tmp_path):
+    """A checkpoint beyond the requested run length is an error, not a
+    silent clamp that would report the checkpoint's too-advanced lattice
+    as the shorter run's result (review finding)."""
+    p = small_params(max_iters=20)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    f = tmp_path / "ck.npz"
+    run_simulation(p, obstacles, kernel="reference",
+                   checkpoint_every=20, checkpoint_file=f)
+    assert load_checkpoint(f)[0] == 20
+    with pytest.raises(ValueError, match="cannot resume"):
+        run_simulation(p, obstacles, kernel="reference", n_iters=10,
+                       resume_from=f)
+    # Resuming at exactly the end is legal (nothing left to run).
+    done = run_simulation(p, obstacles, kernel="reference", resume_from=f)
+    assert len(done.av_vels) == 20
+
+
+def test_resume_rejects_mismatched_scene(tmp_path):
+    """A checkpoint whose lattice cannot belong to this scene fails with
+    a clear error instead of an opaque shape crash (review finding)."""
+    p = small_params()
+    obstacles = generate_obstacles(p.nx, p.ny)
+    f = tmp_path / "ck.npz"
+    save_checkpoint(f, 5, np.zeros((9, p.ny, p.nx * 2), np.float32),
+                    np.zeros(5, np.float32))
+    with pytest.raises(ValueError, match="does not match"):
+        run_simulation(p, obstacles, kernel="reference", resume_from=f)
+    save_checkpoint(f, 5, np.zeros((9, p.ny - 4, p.nx), np.float32),
+                    np.zeros(5, np.float32))
+    with pytest.raises(ValueError, match="does not match"):
+        run_simulation(p, obstacles, kernel="reference", resume_from=f)
+
+
+def test_resume_across_device_counts_reconciles_padding(tmp_path):
+    """Checkpoints are portable across device counts with different row
+    padding (review finding): a 3-device run pads ny=46 to 48 and
+    checkpoints the 48-row lattice; resuming on 2 divisor devices (no
+    padding) — and the reverse — must reproduce the unpadded base
+    trajectory, not crash on shapes. Pad rows sit behind the scene's
+    wall rows, so swapping them for fresh equilibrium rows is exact."""
+    from lbm_tpu.parallel.decomp import make_mesh
+
+    p = small_params(ny=46, nx=64, max_iters=24)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+
+    # Padded writer (3 devices, pad 2) -> unpadded reader (2 devices).
+    f = tmp_path / "ck3.npz"
+    run_simulation(p, obstacles, kernel="reference", mesh=make_mesh(3),
+                   n_iters=12, checkpoint_every=12, checkpoint_file=f)
+    assert load_checkpoint(f)[1].shape == (9, 48, 64)
+    got = run_simulation(p, obstacles, kernel="reference",
+                         mesh=make_mesh(2), resume_from=f)
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+
+    # Unpadded writer (single device) -> padded reader (3 devices).
+    f2 = tmp_path / "ck1.npz"
+    run_simulation(p, obstacles, kernel="reference", n_iters=12,
+                   checkpoint_every=12, checkpoint_file=f2)
+    assert load_checkpoint(f2)[1].shape == (9, 46, 64)
+    got = run_simulation(p, obstacles, kernel="reference",
+                         mesh=make_mesh(3), resume_from=f2)
+    np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
