@@ -15,12 +15,35 @@ C/MPI solver (georgeherbert/lattice-boltzmann, mounted at /root/reference):
   ``shard_map`` and one-row halo ``ppermute`` over ICI.
 """
 
-from lbm_tpu.params import Params, load_params
-from lbm_tpu.obstacles import load_obstacles
-from lbm_tpu.state import initial_state, D2Q9
-from lbm_tpu.runner import SimulationResult, run_simulation
-
 __version__ = "0.1.0"
+
+# Lazy re-exports (PEP 562): the golden checker and the .dat writers
+# (lbm_tpu.check / lbm_tpu.io) are numpy-only, like the reference's
+# check/check.py — importing them must not drag in the jax solver
+# stack (review finding: an eager `from lbm_tpu.runner import ...`
+# here broke the checker in exactly the environments where the solver
+# is the thing being debugged).
+_EXPORTS = {
+    "Params": "lbm_tpu.params",
+    "load_params": "lbm_tpu.params",
+    "load_obstacles": "lbm_tpu.obstacles",
+    "initial_state": "lbm_tpu.state",
+    "D2Q9": "lbm_tpu.state",
+    "SimulationResult": "lbm_tpu.runner",
+    "run_simulation": "lbm_tpu.runner",
+}
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        import importlib
+
+        return getattr(importlib.import_module(_EXPORTS[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_EXPORTS))
 
 __all__ = [
     "Params",

@@ -84,8 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     try:
         return _main(argv)
-    except (FileNotFoundError, ValueError) as exc:
+    except (OSError, ValueError) as exc:
         # The reference's die(): message to stderr, exit 1 (d2q9-bgk.c:754).
+        # OSError covers missing inputs AND output-write failures
+        # (permission/ENOSPC after an hour-long run deserves the same
+        # one-line treatment, review finding).
         print(f"Error: {exc}", file=sys.stderr)
         return 1
 

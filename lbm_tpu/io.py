@@ -42,8 +42,13 @@ def final_state_fields(
         cells[0] + cells[1] + cells[2] + cells[3] + cells[4]
         + cells[5] + cells[6] + cells[7] + cells[8]
     )
-    u_x = (cells[1] + cells[5] + cells[8] - (cells[3] + cells[6] + cells[7])) / rho
-    u_y = (cells[2] + cells[5] + cells[6] - (cells[4] + cells[7] + cells[8])) / rho
+    # Obstacle cells may carry zero density in hand-built states; the
+    # quotients there are masked to zero below, so silence the 0/0.
+    with np.errstate(invalid="ignore", divide="ignore"):
+        u_x = (cells[1] + cells[5] + cells[8]
+               - (cells[3] + cells[6] + cells[7])) / rho
+        u_y = (cells[2] + cells[5] + cells[6]
+               - (cells[4] + cells[7] + cells[8])) / rho
     u = np.sqrt(u_x * u_x + u_y * u_y, dtype=cells.dtype)
     pressure = rho * c_sq
     zero = d(0.0)
@@ -141,7 +146,12 @@ class FileDiff:
 class GoldenResult:
     av_vels: FileDiff
     final_state: FileDiff
-    tolerance: float
+
+    @property
+    def tolerance(self) -> float:
+        # Derived, not stored: both diffs always share one gate, and a
+        # separately stored copy could drift from the one that judged.
+        return self.av_vels.tolerance
 
     @property
     def passed(self) -> bool:
@@ -191,7 +201,6 @@ def compare_golden_arrays(
     return GoldenResult(
         av_vels=_diff(av_ref, av_sim, tolerance),
         final_state=_diff(fs_ref[:, 2], fs_sim[:, 2], tolerance),
-        tolerance=tolerance,
     )
 
 
