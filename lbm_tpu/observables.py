@@ -27,10 +27,14 @@ def av_velocity(cells: jnp.ndarray, obstacles: jnp.ndarray) -> jnp.ndarray:
     """Mean |u| over fluid cells (d2q9-bgk.c:449-481)."""
     _, u_x, u_y = macroscopic(cells)
     speed = jnp.sqrt(u_x * u_x + u_y * u_y)
-    fluid = ~obstacles
+    # Coerce: on a reference-style int 0/1 mask, bitwise ~ would mark
+    # EVERY cell fluid (review finding).
+    fluid = ~obstacles.astype(bool)
     d = cells.dtype
     tot_u = jnp.sum(jnp.where(fluid, speed, d.type(0)), dtype=d)
-    tot_cells = jnp.sum(fluid, dtype=d)
+    # The count is summed as integers (the reference's int tot_cells,
+    # d2q9-bgk.c:450) — f32 partial sums round past 2^24 fluid cells.
+    tot_cells = jnp.sum(fluid, dtype=jnp.int32).astype(d)
     return tot_u / tot_cells
 
 

@@ -31,13 +31,22 @@ def load_obstacles(path: str | Path, nx: int, ny: int) -> np.ndarray:
         _native.read_obstacles(str(path), nx, ny, mask8)
         return mask8.astype(bool)
     try:
-        raw = np.loadtxt(path, dtype=np.int64, ndmin=2)
+        tokens = Path(path).read_text().split()
     except OSError as exc:
         raise FileNotFoundError(f"could not open input obstacles file: {path}") from exc
-    if raw.size == 0:
+    if not tokens:
         return np.zeros((ny, nx), dtype=bool)
-    if raw.shape[1] != 3:
+    try:
+        flat = np.array([int(t) for t in tokens], dtype=np.int64)
+    except ValueError as exc:
+        raise ValueError("expected 3 values per line in obstacle file") from exc
+    if flat.size % 3:
+        # Token-stream triplets, like the reference's fscanf
+        # (d2q9-bgk.c:628) and the native parser — newline placement is
+        # not significant (review finding: np.loadtxt rejected
+        # multi-triplet lines the native path accepts).
         raise ValueError("expected 3 values per line in obstacle file")
+    raw = flat.reshape(-1, 3)
     xx, yy, blocked = raw[:, 0], raw[:, 1], raw[:, 2]
     if np.any((xx < 0) | (xx > nx - 1)):
         raise ValueError("obstacle x-coord out of range")

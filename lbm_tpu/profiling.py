@@ -93,20 +93,32 @@ def roofline_report(
 ) -> dict:
     """Throughput vs the chip's bandwidth/compute roofs.
 
-    ``steps_per_pass``: temporal fusion depth of the measured kernel
-    (pallas_fused._kernel_fused advances ``depth`` steps per HBM pass,
-    so physical traffic per step is BYTES_PER_CELL / depth and the
-    bandwidth ceiling scales up by depth). Pass the depth the run used:
-    the size-aware default is 2 for chip-resident states (<= ~50 MB per
-    lattice buffer) and 4 for larger ones (pallas_fused._depth_preference);
-    a wrong value over/under-reports HBM utilisation proportionally.
+    ``steps_per_pass``: steps the measured kernel advances per HBM pass
+    (pallas_fused._kernel_fused: physical traffic per step is
+    BYTES_PER_CELL / depth, so the bandwidth ceiling scales up by
+    depth). Pass the value the run actually used — the automatic
+    schedule is shape-aware: chip-resident states auto-select the
+    VMEM-resident kernel at G=100 steps per pass
+    (pallas_resident.resident_gsteps), blocked runs take depth 2 under
+    ~50 MB per lattice buffer, 8 for large lanes<=128 layouts and 4
+    otherwise (pallas_fused._depth_preference). A wrong value
+    over/under-reports HBM utilisation proportionally —
+    scripts/plot_roofline.py mirrors the selection logic instead of
+    hardcoding a tier.
     """
     cells = nx * ny * iters
     glups = cells / seconds / 1e9
     bytes_per_step = BYTES_PER_CELL_F32_MASK / steps_per_pass
     gbps = cells * bytes_per_step / seconds / 1e9
     gflops = cells * FLOPS_PER_CELL / seconds / 1e9
-    peaks = CHIP_PEAKS.get(chip, CHIP_PEAKS["v5e"])
+    try:
+        peaks = CHIP_PEAKS[chip]
+    except KeyError:
+        # A silent v5e fallback would misstate utilisation for other
+        # chips by their real bandwidth ratio (review finding).
+        raise ValueError(
+            f"unknown chip {chip!r}; known: {sorted(CHIP_PEAKS)}"
+        ) from None
     ai = FLOPS_PER_CELL / bytes_per_step
     return {
         "glups": glups,

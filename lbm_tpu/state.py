@@ -46,14 +46,18 @@ class D2Q9:
     # dtype — rather than duplicated here.)
 
 
-def initial_state(params: Params, dtype=jnp.float32) -> jnp.ndarray:
+def initial_state(params: Params, dtype=None) -> jnp.ndarray:
     """Uniform equilibrium-at-rest initial distributions (d2q9-bgk.c:584-604).
 
     speed 0 = density*4/9, axis speeds = density/9, diagonals = density/36,
-    everywhere (obstacle cells included). ``dtype`` float64 gives the
-    original coursework code's precision (the golden data's), for
-    validation runs on CPU with jax_enable_x64.
+    everywhere (obstacle cells included). ``dtype`` defaults to
+    ``params.dtype`` (review finding: a float32 default silently
+    f32-rounded the state of float64 validation runs unless every
+    caller remembered to pass it); float64 gives the original
+    coursework code's precision (the golden data's), for validation
+    runs on CPU with jax_enable_x64.
     """
+    dtype = params.dtype if dtype is None else dtype
     d = np.dtype(dtype).type
     w0 = d(params.density) * d(4.0) / d(9.0)
     w1 = d(params.density) / d(9.0)
@@ -64,12 +68,15 @@ def initial_state(params: Params, dtype=jnp.float32) -> jnp.ndarray:
     ).astype(dtype)
 
 
-def initial_state_np(params: Params) -> np.ndarray:
-    """NumPy twin of :func:`initial_state` for host-side tooling."""
-    w0 = np.float32(params.density * np.float32(4.0) / np.float32(9.0))
-    w1 = np.float32(params.density / np.float32(9.0))
-    w2 = np.float32(params.density / np.float32(36.0))
-    per_speed = np.array([w0, w1, w1, w1, w1, w2, w2, w2, w2], dtype=np.float32)
+def initial_state_np(params: Params, dtype=None) -> np.ndarray:
+    """NumPy twin of :func:`initial_state` for host-side tooling;
+    same ``params.dtype`` default and weight arithmetic."""
+    dtype = params.dtype if dtype is None else dtype
+    d = np.dtype(dtype).type
+    w0 = d(params.density) * d(4.0) / d(9.0)
+    w1 = d(params.density) / d(9.0)
+    w2 = d(params.density) / d(36.0)
+    per_speed = np.array([w0, w1, w1, w1, w1, w2, w2, w2, w2], dtype=dtype)
     return np.broadcast_to(
         per_speed[:, None, None], (D2Q9.Q, params.ny, params.nx)
     ).copy()

@@ -57,3 +57,14 @@ def test_roofline_fused_steps_per_pass():
     assert r2["hbm_utilisation"] < 1.0
     assert abs(r2["ceiling_glups"] - 2 * 819 / 76) < 1e-9
     assert r2["bound"] == "memory"
+
+
+def test_roofline_unknown_chip_rejected():
+    """Unknown chip names raise instead of silently using v5e peaks
+    (review finding)."""
+    import pytest
+
+    from lbm_tpu.profiling import roofline_report
+
+    with pytest.raises(ValueError, match="unknown chip"):
+        roofline_report(128, 128, 100, 1.0, chip="v6e")

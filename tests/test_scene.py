@@ -135,3 +135,61 @@ def test_compilation_cache_flag(tmp_path):
     assert cache.is_dir() and any(cache.iterdir()), (
         "compilation cache directory should be populated"
     )
+
+
+def test_obstacle_parser_accepts_token_stream(tmp_path):
+    """The reference's fscanf is newline-agnostic (d2q9-bgk.c:628) and
+    the native parser matches it; the numpy fallback must parse the
+    same token-stream triplets (review finding: it used to reject
+    multi-triplet lines the other parsers accept)."""
+    from lbm_tpu.obstacles import load_obstacles
+
+    f = tmp_path / "obs.dat"
+    f.write_text("1 1 1 2 2 1\n3 3 1\n")
+    mask = load_obstacles(f, 8, 8)
+    assert mask[1, 1] and mask[2, 2] and mask[3, 3]
+    assert mask.sum() == 3
+    # A dangling token is still malformed.
+    f.write_text("1 1 1 2 2\n")
+    import pytest
+
+    with pytest.raises(ValueError, match="3 values"):
+        load_obstacles(f, 8, 8)
+
+
+def test_initial_state_follows_params_dtype():
+    """initial_state/initial_state_np default to params.dtype (review
+    finding: a hardcoded f32 default silently rounded f64 validation
+    states)."""
+    import jax
+
+    from lbm_tpu.params import Params
+    from lbm_tpu.state import initial_state, initial_state_np
+
+    p32 = Params(nx=8, ny=8, max_iters=1, reynolds_dim=10,
+                 density=0.1, accel=0.005, omega=1.85)
+    assert initial_state(p32).dtype == np.float32
+    assert initial_state_np(p32).dtype == np.float32
+    if jax.config.read("jax_enable_x64"):  # pragma: no cover
+        pass  # x64 runs assert the f64 branch in test_float64.py
+    assert initial_state_np(p32, dtype=np.float64).dtype == np.float64
+
+
+def test_av_velocity_coerces_integer_masks():
+    """A reference-style int 0/1 obstacle mask must count fluid cells
+    correctly (review finding: bitwise ~ on ints marked every cell
+    fluid and produced a negative count)."""
+    import jax.numpy as jnp
+
+    from lbm_tpu.observables import av_velocity
+    from lbm_tpu.params import Params
+    from lbm_tpu.state import initial_state
+
+    p = Params(nx=8, ny=8, max_iters=1, reynolds_dim=10,
+               density=0.1, accel=0.005, omega=1.85)
+    cells = initial_state(p)
+    mask_bool = jnp.zeros((8, 8), bool).at[0, :].set(True)
+    mask_int = mask_bool.astype(jnp.int32)
+    a = float(av_velocity(cells, mask_bool))
+    b = float(av_velocity(cells, mask_int))
+    assert a == b and np.isfinite(a)
