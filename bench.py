@@ -115,14 +115,20 @@ def _tpu_alive(timeout_s: float = 60.0) -> bool:
 def main() -> int:
     kernel = sys.argv[1] if len(sys.argv) > 1 else "auto"
 
-    # The tunnelled TPU session drops out for stretches — sometimes an
-    # hour after a Mosaic crash (CLAUDE.md). Every hardware measurement
-    # (headline included) runs in a timeout-guarded subprocess: a hung
-    # device call on a half-dead tunnel is not an Exception, so an
-    # in-process measurement could hang forever. Retry patiently before
-    # falling back to a (honest, slow) CPU measurement.
-    attempts = 15
+    # The tunnelled TPU session drops out for stretches — an hour+ after
+    # a Mosaic crash (CLAUDE.md). Every hardware measurement (headline
+    # included) runs in a timeout-guarded subprocess: a hung device call
+    # on a half-dead tunnel is not an Exception, so an in-process
+    # measurement could hang forever. Probe for ~65 minutes (covering
+    # the documented outage length) before falling back to a (honest,
+    # slow) CPU measurement — but a measurement that FAILS while the
+    # TPU is alive is a real failure (diverged trajectory, compile
+    # error), reported as such rather than mislabeled as unavailability
+    # (review finding).
+    attempts = 25
     headline = None
+    last_error = None
+    same_error = 0
     for attempt in range(attempts):
         if _tpu_alive():
             line = _stress_line(
@@ -132,19 +138,30 @@ def main() -> int:
             if "value" in line:
                 headline = line
                 break
+            err = line.get("error", "no output")
+            same_error = same_error + 1 if err == last_error else 1
+            last_error = err
+            print(json.dumps({"attempt": attempt, "error": err[:300]}),
+                  file=sys.stderr, flush=True)
+            if same_error >= 2 and "timeout" not in err:
+                break  # deterministic failure; retrying cannot help
         if attempt < attempts - 1:
-            time.sleep(60)
+            time.sleep(90)
     if headline is None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
         glups, dt = bench(kernel="reference", iters=200, repeats=1)
+        note = (
+            f"tpu_measurement_failed: {last_error[:200]}"
+            if last_error else "tpu_unavailable_cpu_fallback"
+        )
         print(json.dumps({
             "metric": "GLUPS_1024x1024",
             "value": round(glups, 4),
             "unit": "GLUPS",
             "vs_baseline": round(glups / BASELINE_GLUPS, 4),
-            "note": "tpu_unavailable_cpu_fallback",
+            "note": note,
         }))
         return 0
 
@@ -157,9 +174,14 @@ def main() -> int:
     return 0
 
 
-def _stress_line(metric, nx, ny, iters, kernel, base,
-                 repeats: int = 2, timeout_s: float = 900.0) -> dict:
-    """One hardware measurement in a timeout-guarded subprocess."""
+def measure_subprocess(nx, ny, iters, kernel: str = "auto",
+                       repeats: int = 2, timeout_s: float = 900.0,
+                       env: dict | None = None) -> dict:
+    """One hardware measurement in a timeout-guarded subprocess — THE
+    shared harness (scripts/ab_kernel.py delegates here, so the
+    measurement discipline lives in exactly one place). ``env`` adds
+    trace-time knobs for A/B runs. Returns {'glups', 'best_s'} or
+    {'error'}."""
     import os
     import subprocess
 
@@ -168,29 +190,40 @@ def _stress_line(metric, nx, ny, iters, kernel, base,
         "from bench import bench;"
         f"g, t = bench(nx={nx}, ny={ny}, iters={iters},"
         f" kernel={kernel!r}, repeats={repeats});"
-        "print('RESULT ' + json.dumps({'glups': g}))"
+        "print('RESULT ' + json.dumps({'glups': g, 'best_s': t}))"
     )
     here = os.path.dirname(os.path.abspath(__file__))
+    full_env = dict(os.environ)
+    if env:
+        full_env.update(env)
     try:
         res = subprocess.run(
             [sys.executable, "-c", code, here],
             capture_output=True, text=True, timeout=timeout_s, cwd=here,
+            env=full_env,
         )
     except subprocess.TimeoutExpired:
-        return {"metric": metric, "error": f"timeout after {timeout_s:.0f}s"}
+        return {"error": f"timeout after {timeout_s:.0f}s"}
     for line in res.stdout.splitlines():
         if line.startswith("RESULT "):
-            g = json.loads(line[len("RESULT "):])["glups"]
-            return {
-                "metric": metric,
-                "value": round(g, 4),
-                "unit": "GLUPS",
-                "vs_baseline": round(g / base, 4),
-            }
+            return json.loads(line[len("RESULT "):])
     return {
-        "metric": metric,
         "error": (res.stderr.strip().splitlines() or ["no output"])[-1][:300],
     }
+
+
+def _stress_line(metric, nx, ny, iters, kernel, base,
+                 repeats: int = 2, timeout_s: float = 900.0) -> dict:
+    """One metric line for the driver from a subprocess measurement."""
+    m = measure_subprocess(nx, ny, iters, kernel, repeats, timeout_s)
+    if "glups" in m:
+        return {
+            "metric": metric,
+            "value": round(m["glups"], 4),
+            "unit": "GLUPS",
+            "vs_baseline": round(m["glups"] / base, 4),
+        }
+    return {"metric": metric, "error": m["error"]}
 
 
 if __name__ == "__main__":

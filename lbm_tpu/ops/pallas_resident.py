@@ -311,6 +311,32 @@ def _pallas_resident(cells, obs_i8, *, omega_f, interpret, accel, gsteps):
     return new, tot[0]
 
 
+def _pinned_steps(even: bool) -> int | None:
+    """Parse the LBM_RESIDENT_STEPS pin, failing loudly on an invalid
+    value (review finding: a typo crashed deep inside planning with a
+    bare int() traceback, and an odd pin in a parity-constrained mode
+    silently measured the BLOCKED kernel while the operator believed
+    they pinned the resident one)."""
+    pin = os.environ.get("LBM_RESIDENT_STEPS")
+    if not pin:
+        return None
+    try:
+        g = int(pin)
+    except ValueError:
+        raise ValueError(
+            f"LBM_RESIDENT_STEPS={pin!r} is not an integer"
+        ) from None
+    if g < 1:
+        raise ValueError(f"LBM_RESIDENT_STEPS={g} must be positive")
+    if even and g % 2:
+        raise ValueError(
+            f"LBM_RESIDENT_STEPS={g}: this mode steps in pairs "
+            "(double-buffer parity / RDMA slot parity) and needs an "
+            "even count"
+        )
+    return g
+
+
 def resident_prefs(
     rows: int, lanes: int, backend: str | None = None
 ) -> tuple[int, ...] | None:
@@ -346,14 +372,8 @@ def resident_prefs(
     by = _pick_block_rows(rows, lanes)
     if rows % 8 or by % 8 or rows % by:
         return None
-    pin = os.environ.get("LBM_RESIDENT_STEPS")
-    if pin:
-        g = int(pin)
-        # Double-buffer mode needs even G (A->B->A pairs); the in-place
-        # mode has no buffer parity and accepts any positive count.
-        ok = g >= 1 and (n_bufs == 1 or g % 2 == 0)
-        return (g,) if ok else None
-    return _G_PREF
+    pin = _pinned_steps(even=n_bufs == 2)
+    return (pin,) if pin else _G_PREF
 
 
 def resident_gsteps(rows: int, lanes: int, n_iters: int | None,

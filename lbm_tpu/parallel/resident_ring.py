@@ -92,7 +92,11 @@ from lbm_tpu.ops.pallas_fused import (
     AccelSpec,
     transpose_state,
 )
-from lbm_tpu.ops.pallas_resident import _G_PREF, _inplace_override
+from lbm_tpu.ops.pallas_resident import (
+    _G_PREF,
+    _inplace_override,
+    _pinned_steps,
+)
 from lbm_tpu.parallel.decomp import AXIS, RowDecomposition
 
 Q = D2Q9.Q
@@ -514,11 +518,9 @@ def ring_prefs(local_rows: int, lanes: int,
         local_rows % 8 or by % 8
     ):
         return None
-    pin = os.environ.get("LBM_RESIDENT_STEPS")
-    if pin:
-        g = int(pin)
-        return (g,) if g >= 2 and g % 2 == 0 else None
-    return _G_PREF
+    # The ring's RDMA slot parity needs even G in BOTH buffer modes.
+    pin = _pinned_steps(even=True)
+    return (pin,) if pin else _G_PREF
 
 
 def ring_gsteps(local_rows: int, lanes: int, n_iters: int | None,

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -39,31 +38,17 @@ def parse(arg: str):
 
 
 def run_one(name, nx, ny, iters, env, repeats=3, timeout_s=1500.0):
-    code = (
-        "import json, sys; sys.path.insert(0, sys.argv[1]);"
-        "from bench import bench;"
-        f"g, t = bench(nx={nx}, ny={ny}, iters={iters},"
-        f" kernel='auto', repeats={repeats});"
-        "print('RESULT ' + json.dumps({'glups': g, 'best_s': t}))"
-    )
-    full_env = dict(os.environ)
-    full_env.update(env)
+    sys.path.insert(0, HERE)
+    from bench import measure_subprocess
+
     t0 = time.time()
-    try:
-        res = subprocess.run(
-            [sys.executable, "-c", code, HERE], capture_output=True,
-            text=True, timeout=timeout_s, cwd=HERE, env=full_env,
-        )
-    except subprocess.TimeoutExpired:
-        return {"name": name, "error": f"timeout {timeout_s:.0f}s"}
-    for line in res.stdout.splitlines():
-        if line.startswith("RESULT "):
-            d = json.loads(line[len("RESULT "):])
-            return {"name": name, "nx": nx, "ny": ny, "iters": iters,
-                    "env": env, "glups": round(d["glups"], 3),
-                    "wall_s": round(time.time() - t0, 1)}
-    return {"name": name,
-            "error": (res.stderr.strip().splitlines() or ["no output"])[-1][:400]}
+    m = measure_subprocess(nx, ny, iters, "auto", repeats, timeout_s,
+                           env=env)
+    if "glups" in m:
+        return {"name": name, "nx": nx, "ny": ny, "iters": iters,
+                "env": env, "glups": round(m["glups"], 3),
+                "wall_s": round(time.time() - t0, 1)}
+    return {"name": name, "error": m["error"]}
 
 
 def main():

@@ -67,11 +67,17 @@ def test_ring_gating(monkeypatch):
     # On real TPU the blocked path's 8-aligned-rows rule applies.
     assert rr.ring_prefs(12, 128, backend="tpu") is None
     assert rr.ring_prefs(16, 128, backend="tpu") == rr._G_PREF
-    # LBM_RESIDENT_STEPS pins one (even) granularity.
+    # LBM_RESIDENT_STEPS pins one (even) granularity; invalid pins fail
+    # loudly instead of silently measuring the blocked kernel (review
+    # finding).
     monkeypatch.setenv("LBM_RESIDENT_STEPS", "4")
     assert rr.ring_prefs(128, 1024) == (4,)
     monkeypatch.setenv("LBM_RESIDENT_STEPS", "5")
-    assert rr.ring_prefs(128, 1024) is None
+    with pytest.raises(ValueError, match="even"):
+        rr.ring_prefs(128, 1024)
+    monkeypatch.setenv("LBM_RESIDENT_STEPS", "1OO")
+    with pytest.raises(ValueError, match="not an integer"):
+        rr.ring_prefs(128, 1024)
 
 
 @pytest.mark.parametrize("n_dev", [2, 8])
