@@ -163,6 +163,25 @@ def _accel_ok(vals, fluid_f, accel: AccelSpec, line_f):
     return okf
 
 
+def _accel_line_extract(vals, fluid_f, accel: AccelSpec, line_f):
+    """axis=1 (transposed-layout) forcing with the v6.5 line
+    extraction: the guards need only the forced COLUMN's values, so
+    the compares run on (m, 1) lane slices and the line-and-fluid
+    indicator broadcasts over the narrow result — bit-identical to
+    the full-plane _accel_ok form (all factors are exact 0/1 floats)
+    at ~2 full-plane ops per copy instead of ~5. The VMEM-resident
+    kernels' hottest-path forcing (review finding: they re-paid the
+    full-plane cost the blocked kernel already eliminated)."""
+    c = accel.index
+    okl = None
+    for g, t in accel.guards:
+        ind = (
+            vals[g][:, c : c + 1] - np.float32(t) > np.float32(0.0)
+        ).astype(jnp.float32)
+        okl = ind if okl is None else okl * ind
+    return _accelerated(vals, (line_f * fluid_f) * okl, accel)
+
+
 def _accelerated(vals, okf, accel: AccelSpec):
     """Apply the per-speed deltas scaled by the 0/1 indicator."""
     out = []

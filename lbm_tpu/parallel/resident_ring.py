@@ -84,6 +84,7 @@ from lbm_tpu.state import D2Q9
 from lbm_tpu.ops.reference import _bgk_update
 from lbm_tpu.ops.pallas_fused import (
     _VMEM_CAP,
+    _accel_line_extract,
     _accel_ok,
     _accelerated,
     _interpret,
@@ -234,7 +235,13 @@ def _kernel_ring(*refs, by, h, omega, accel, gsteps, n_shards,
     def forced(vals, fluid_f, line_f):
         """Guarded per-load forcing (d2q9-bgk.c:250-253) — identical to
         the blocked kernel's per-copy application; f32 indicator
-        products per the Mosaic i1 rules (CLAUDE.md)."""
+        products per the Mosaic i1 rules (CLAUDE.md). The static
+        transposed line takes the blocked kernel's line extraction
+        (bit-identical, guards on (m, 1) column slices); the dynamic
+        row-sharded mask keeps the full-plane form (its line position
+        is per-shard)."""
+        if accel.axis == 1:
+            return _accel_line_extract(vals, fluid_f, accel, line_f)
         ok = _accel_ok(vals, fluid_f, accel, line_f)
         return _accelerated(vals, ok, accel)
 

@@ -464,3 +464,35 @@ def test_paired_equilibrium_matches_reference(monkeypatch):
     np.testing.assert_allclose(
         ref_paired.av_vels, pal_paired.av_vels, rtol=1e-4
     )
+
+
+def test_accel_line_extract_bit_exact():
+    """The transposed-layout line extraction (guards on the forced
+    column's slices only) is bit-identical to the full-plane guard form
+    it replaces on the resident kernels' hot path — all factors are
+    exact 0/1 floats, so the algebra commutes exactly."""
+    import jax.numpy as jnp
+
+    from lbm_tpu.ops.pallas_fused import (
+        AccelSpec,
+        _accel_line_extract,
+        _accel_ok,
+        _accelerated,
+    )
+    from lbm_tpu.params import Params
+
+    p = Params(nx=32, ny=16, max_iters=1, reynolds_dim=10,
+               density=0.1, accel=0.005, omega=1.85)
+    accel = AccelSpec.lanes(p, p.ny)
+    rng = np.random.default_rng(61)
+    # Values straddling the guard thresholds, some negative.
+    vals = [jnp.asarray(rng.normal(0.01, 0.02, (8, 16)).astype(np.float32))
+            for _ in range(9)]
+    fluid = jnp.asarray((rng.random((8, 16)) > 0.2).astype(np.float32))
+    line = (jnp.arange(16)[None, :] == accel.index).astype(jnp.float32)
+
+    full = _accelerated(vals, _accel_ok(vals, fluid, accel, line), accel)
+    fast = _accel_line_extract(vals, fluid, accel, line)
+    for k in range(9):
+        np.testing.assert_array_equal(np.asarray(full[k]),
+                                      np.asarray(fast[k]))
