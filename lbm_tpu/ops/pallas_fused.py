@@ -130,6 +130,14 @@ class AccelSpec:
         )
 
 
+def _transposed_layout(ny: int, nx: int) -> bool:
+    """ONE home for the wide-grid transposition policy (review finding:
+    supports_tpu_grid and _layout each hard-coded it — tuning one copy
+    would let the Mosaic-geometry gate validate a layout the impl no
+    longer uses)."""
+    return nx >= 2 * ny and nx % 8 == 0
+
+
 def _pick_block_rows(h: int, nx: int) -> int:
     """Largest divisor of h whose 9-speed f32 row block fits the per-slot
     VMEM budget. Multiples of 8 are strongly preferred (body DMA offsets
@@ -365,25 +373,7 @@ def _kernel(
             ok_n = _accel_ok(next_row, fluid_n, accel, lane1)
             next_row = _accelerated(next_row, ok_n, accel)
 
-    streamed = []
-    for k in range(Q):
-        cy = int(D2Q9.CY[k])
-        cx = int(D2Q9.CX[k])
-        if cy == 0:
-            win = body[k]
-        elif cy == 1:
-            # Pull from row j-1: sublane roll down, then patch row 0 with
-            # the row below the block.
-            rolled = pltpu.roll(body[k], 1, 0) if by > 1 else body[k]
-            win = jnp.where(row_ids == 0, prev_row[k], rolled)
-        else:
-            # Pull from row j+1: roll up, patch the top row.
-            rolled = pltpu.roll(body[k], by - 1, 0) if by > 1 else body[k]
-            win = jnp.where(row_ids == by - 1, next_row[k], rolled)
-        if cx != 0:
-            # Periodic x: lane rotate (pltpu.roll needs shift >= 0).
-            win = pltpu.roll(win, cx % nx, 1)
-        streamed.append(win)
+    streamed = _pull_interior(body, prev_row, next_row, row_ids, by, nx)
     new, tot_u = _bgk_update(streamed, obstacles, omega)
     out_ref[:] = new
     # Edge rows exported per block (with their obstacle flags in channel
@@ -925,7 +915,7 @@ def _kernel_fused(
             tot_ref[0, d] = tot_ref[0, d] + tots[d]
 
 
-def _pallas_step_fused(interior, firsts, lasts, obs_i8, *, omega_f,
+def _pallas_step_fused(interior, prevs, nexts, obs_i8, *, omega_f,
                        interpret, accel, depth, ring=True, seams=None,
                        dst=None, accel_mask=None):
     """One fused ``depth``-step pass. Returns
@@ -933,9 +923,15 @@ def _pallas_step_fused(interior, firsts, lasts, obs_i8, *, omega_f,
     t+depth state's depth-deep edge rows and ``tots`` is the (depth,)
     per-step |u| sums, in step order.
 
-    ``ring=True``: periodic y, the kernel ring-indexes lasts/firsts as
-    its neighbour entries. ``seams=(south_entry, north_entry)``: sharded
-    mode — lasts/firsts are the shard's OWN edge arrays, resident
+    ``prevs``/``nexts`` follow :func:`_pallas_step`'s convention
+    EXACTLY (review finding: this entry point used to take the same
+    arrays in the opposite order and swap internally — a copy-paste
+    trap between the two sibling call sites): the caller passes the
+    CURRENT lasts edge array as ``prevs`` and firsts as ``nexts``.
+
+    ``ring=True``: periodic y, the kernel ring-indexes them as its
+    neighbour entries. ``seams=(south_entry, north_entry)``: sharded
+    mode — prevs/nexts are the shard's OWN edge arrays, resident
     entries are ring-indexed in-kernel and the two boundary blocks read
     the (1, qpd, nx) ppermuted seam entries (no per-pass rolled
     edge-array copies). ``accel_mask``: dynamic SPMD forcing
@@ -944,6 +940,17 @@ def _pallas_step_fused(interior, firsts, lasts, obs_i8, *, omega_f,
 
     Like :func:`_pallas_step`, deliberately not jitted itself."""
     assert ring or seams is not None, "sharded mode requires seam entries"
+    # The configurations _kernel_fused cannot serve fail at trace time
+    # instead of producing silent wrong rows (review finding): forcing
+    # is mandatory (the unfused _pallas_step serves unforced passes),
+    # and a STATIC row spec under sharding would wrap the forced row
+    # into local coordinates (_row_forced_factor's periodic target) —
+    # sharded row forcing must come through the dynamic mask.
+    assert accel is not None, "fused passes require an AccelSpec"
+    assert not (seams is not None and accel_mask is None
+                and accel.axis == 0), (
+        "sharded row forcing requires the dynamic accel mask"
+    )
     q, h, nx = interior.shape
     by = _pick_block_rows(h, nx)
     n_blocks = h // by
@@ -961,7 +968,7 @@ def _pallas_step_fused(interior, firsts, lasts, obs_i8, *, omega_f,
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
-    operands = [interior, lasts, firsts, obs_i8]
+    operands = [interior, prevs, nexts, obs_i8]
     if accel_mask is not None:
         in_specs.append(
             pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -1173,7 +1180,7 @@ class CarryStep:
     def _fused_call(self, cells, firsts, lasts, prepared, dst):
         _, obs_i8, _ = prepared
         return _pallas_step_fused(
-            cells, firsts, lasts, obs_i8, omega_f=self.omega,
+            cells, lasts, firsts, obs_i8, omega_f=self.omega,
             interpret=_interpret(), accel=self._accel_spec(),
             depth=self.fused, dst=dst,
         )
@@ -1250,7 +1257,7 @@ def supports_tpu_grid(ny: int, nx: int) -> bool:
     100x100 do not and should take the XLA reference kernel instead
     (runner._resolve_kernel does this automatically for kernel="auto").
     Interpret mode has no such constraint — CPU tests cover odd shapes."""
-    transposed = nx >= 2 * ny and nx % 8 == 0
+    transposed = _transposed_layout(ny, nx)
     h = nx if transposed else ny
     lanes = ny if transposed else nx
     by = _pick_block_rows(h, lanes)
@@ -1312,12 +1319,13 @@ def _layout(params: Params):
     """(impl class, rows, lanes) of the preferred execution layout:
     transposed for wide grids, physical otherwise."""
     ny, nx = params.ny, params.nx
-    if nx >= 2 * ny and nx % 8 == 0:
+    if _transposed_layout(ny, nx):
         return TransposedCarryStep, nx, ny
     return CarryStep, ny, nx
 
 
-def plan_iters(params: Params, iters: int) -> tuple[int, int]:
+def plan_iters(params: Params, iters: int,
+               backend: str | None = None) -> tuple[int, int]:
     """Single-device :func:`plan_split`: ``(main, tail)`` for the
     grid's preferred execution layout and depth preference. When the
     state qualifies for the VMEM-resident kernel
@@ -1326,13 +1334,15 @@ def plan_iters(params: Params, iters: int) -> tuple[int, int]:
     as one resident segment, anything else as a resident main segment
     plus a short tail (which re-plans recursively through
     make_carry_step — smaller resident G, or the fused/blocked path for
-    odd remainders)."""
+    odd remainders). ``backend`` overrides the resident gate's backend
+    probe like make_carry_step's — pure planning paths must never
+    initialise the backend (CLAUDE.md)."""
     cls, rows, lanes = _layout(params)
     from lbm_tpu.ops import pallas_resident as pr
 
-    prefs = pr.resident_prefs(rows, lanes)
+    prefs = pr.resident_prefs(rows, lanes, backend=backend)
     if prefs and iters > 0:
-        if pr.resident_gsteps(rows, lanes, iters):
+        if pr.resident_gsteps(rows, lanes, iters, backend=backend):
             return iters, 0
         main = iters - iters % prefs[0]
         if main:

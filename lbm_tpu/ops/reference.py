@@ -209,7 +209,11 @@ def _bgk_update_planes(
                 )
             )
 
-    one_m_omega = np.float32(1.0) - np.float32(omega)
+    if omega_abs:
+        # f32-only by the omega_abs gate above; keeping the computation
+        # inside the branch makes that dtype contract explicit (the
+        # float64 validation path never touches a float32 constant).
+        one_m_omega = np.float32(1.0) - np.float32(omega)
     new_planes = []
     for k in range(D2Q9.Q):
         if omega_abs:

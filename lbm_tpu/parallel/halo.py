@@ -174,7 +174,7 @@ class _PallasShardImpl:
     def _fused_call(self, cells, firsts, lasts, prepared, dst):
         _, obs_i8, accel_mask = prepared
         return self.pf._pallas_step_fused(
-            cells, firsts, lasts, obs_i8,
+            cells, lasts, firsts, obs_i8,
             omega_f=float(self.params.omega),
             interpret=self.pf._interpret(),
             accel=self._accel_spec(), depth=self.fused,
