@@ -38,4 +38,5 @@ mosaic:
 	$(PY) scripts/tpu_mosaic_check.py
 
 clean:
-	rm -rf build lbm_tpu/*.so lbm_tpu/__pycache__ tests/__pycache__
+	rm -rf build lbm_tpu/*.so
+	find . -name __pycache__ -type d -prune -exec rm -rf {} +

@@ -17,16 +17,19 @@
 #include <string.h>
 #include <stdint.h>
 
-/* Fetch a C-contiguous buffer of expected itemsize, or set an error. */
+/* Fetch a C-contiguous buffer of the expected format, or set an error.
+ * The format string IS checked (requesting PyBUF_FORMAT and validating
+ * only itemsize would let an int32 array where float32 is expected
+ * print reinterpreted garbage — review finding). */
 static int
-get_buffer(PyObject *obj, Py_buffer *view, Py_ssize_t itemsize, const char *name)
+get_buffer(PyObject *obj, Py_buffer *view, const char *format, const char *name)
 {
     if (PyObject_GetBuffer(obj, view, PyBUF_C_CONTIGUOUS | PyBUF_FORMAT) < 0) {
         return -1;
     }
-    if (view->itemsize != itemsize) {
-        PyErr_Format(PyExc_TypeError, "%s: expected itemsize %zd, got %zd",
-                     name, itemsize, view->itemsize);
+    if (view->format == NULL || strcmp(view->format, format) != 0) {
+        PyErr_Format(PyExc_TypeError, "%s: expected dtype format '%s', got '%s'",
+                     name, format, view->format ? view->format : "?");
         PyBuffer_Release(view);
         return -1;
     }
@@ -49,16 +52,16 @@ write_final_state(PyObject *self, PyObject *args)
         return NULL;
 
     Py_buffer ux, uy, u, p, obs;
-    if (get_buffer(o_ux, &ux, 4, "u_x") < 0) return NULL;
-    if (get_buffer(o_uy, &uy, 4, "u_y") < 0) { PyBuffer_Release(&ux); return NULL; }
-    if (get_buffer(o_u, &u, 4, "u") < 0) {
+    if (get_buffer(o_ux, &ux, "f", "u_x") < 0) return NULL;
+    if (get_buffer(o_uy, &uy, "f", "u_y") < 0) { PyBuffer_Release(&ux); return NULL; }
+    if (get_buffer(o_u, &u, "f", "u") < 0) {
         PyBuffer_Release(&ux); PyBuffer_Release(&uy); return NULL;
     }
-    if (get_buffer(o_p, &p, 4, "pressure") < 0) {
+    if (get_buffer(o_p, &p, "f", "pressure") < 0) {
         PyBuffer_Release(&ux); PyBuffer_Release(&uy); PyBuffer_Release(&u);
         return NULL;
     }
-    if (get_buffer(o_obs, &obs, 4, "obstacles") < 0) {
+    if (get_buffer(o_obs, &obs, "i", "obstacles") < 0) {
         PyBuffer_Release(&ux); PyBuffer_Release(&uy); PyBuffer_Release(&u);
         PyBuffer_Release(&p);
         return NULL;
@@ -111,6 +114,14 @@ write_final_state(PyObject *self, PyObject *args)
     }
     Py_END_ALLOW_THREADS
 
+    /* A mid-file flush failure (ENOSPC, EIO) leaves ferror set while
+     * fclose can still succeed — check both or a truncated
+     * final_state.dat reports success (review finding). */
+    if (ferror(fp)) {
+        fclose(fp);
+        PyErr_Format(PyExc_OSError, "write error on %s", path);
+        goto done;
+    }
     if (fclose(fp) != 0) {
         PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
         goto done;
@@ -132,7 +143,7 @@ write_av_vels(PyObject *self, PyObject *args)
     if (!PyArg_ParseTuple(args, "sO", &path, &o_av))
         return NULL;
     Py_buffer av;
-    if (get_buffer(o_av, &av, 4, "av_vels") < 0) return NULL;
+    if (get_buffer(o_av, &av, "f", "av_vels") < 0) return NULL;
 
     PyObject *result = NULL;
     FILE *fp = fopen(path, "w");
@@ -148,6 +159,11 @@ write_av_vels(PyObject *self, PyObject *args)
         fprintf(fp, "%zd:\t%.12E\n", tt, (double)v[tt]);
     }
     Py_END_ALLOW_THREADS
+    if (ferror(fp)) {
+        fclose(fp);
+        PyErr_Format(PyExc_OSError, "write error on %s", path);
+        goto done;
+    }
     if (fclose(fp) != 0) {
         PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
         goto done;
@@ -175,10 +191,17 @@ read_obstacles(PyObject *self, PyObject *args)
     if (!PyArg_ParseTuple(args, "siiO", &path, &nx, &ny, &o_mask))
         return NULL;
     Py_buffer mask;
-    if (PyObject_GetBuffer(o_mask, &mask, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE) < 0)
+    if (PyObject_GetBuffer(o_mask, &mask,
+                           PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE | PyBUF_ND) < 0)
         return NULL;
-    if (mask.len != (Py_ssize_t)nx * ny) {
-        PyErr_SetString(PyExc_ValueError, "mask buffer must be ny*nx bytes");
+    /* Validate the actual (ny, nx) shape, not just the byte count — a
+     * swapped nx/ny call would otherwise scatter into a transposed
+     * layout silently (review finding). */
+    if (mask.ndim != 2 || mask.itemsize != 1
+            || mask.shape[0] != ny || mask.shape[1] != nx) {
+        PyErr_Format(PyExc_ValueError,
+                     "mask buffer must be a (ny=%d, nx=%d) uint8 array",
+                     ny, nx);
         PyBuffer_Release(&mask);
         return NULL;
     }
@@ -204,10 +227,17 @@ read_obstacles(PyObject *self, PyObject *args)
         count++;
     }
     Py_END_ALLOW_THREADS
+    /* fscanf returns EOF for a read ERROR too; without this check a
+     * partially-read file is accepted as complete (review finding). */
+    int read_failed = ferror(fp);
     fclose(fp);
     PyBuffer_Release(&mask);
     if (err != NULL) {
         PyErr_SetString(PyExc_ValueError, err);
+        return NULL;
+    }
+    if (read_failed) {
+        PyErr_Format(PyExc_OSError, "read error on %s", path);
         return NULL;
     }
     return PyLong_FromLong(count);
