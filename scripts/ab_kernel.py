@@ -32,7 +32,12 @@ DEFAULTS = [
 
 
 def parse(arg: str):
-    name, nx, ny, iters, envs = (arg.split(":") + [""])[:5]
+    parts = arg.split(":")
+    if len(parts) < 4:
+        raise SystemExit(
+            f"config {arg!r}: expected name:nx:ny:iters[:ENV=V,ENV=V]"
+        )
+    name, nx, ny, iters, envs = (parts + [""])[:5]
     env = dict(kv.split("=", 1) for kv in envs.split(",") if kv)
     return name, int(nx), int(ny), int(iters), env
 

@@ -7,7 +7,6 @@ Times a jitted fori_loop of full steps (accelerate + collide-stream) at
 
 - jnp-elementwise: ops.reference.collide_stream (the XLA baseline);
 - jnp-mxu: ops.mxu_eq.collide_stream_mxu (feq as a (9,6)x(6,N) matmul);
-- pallas: the production fused kernel (context line).
 
 Also reports whether the compiled MXU variant actually contains a
 convolution/dot (it can be verified from the optimized HLO) and the

@@ -58,13 +58,14 @@ def main(argv=None):
 
     with open(args.sweep) as f:
         rows = json.load(f)
-    # Only single-device rows belong on a single-chip roofline: the
-    # devices>1 sweep rows are functional virtual-CPU-mesh runs, not
-    # hardware measurements (see their "note" field).
+    # Only single-device TPU rows belong on a single-chip roofline: the
+    # devices>1 sweep rows AND any backend!=tpu row are functional
+    # (interpret-mode) runs, not hardware measurements — plotting them
+    # against the v5e roofs would present meaningless points.
     results = [
         r for r in rows
         if "error" not in r and r.get("devices", 1) == 1
-        and r.get("kernel") == "pallas"
+        and r.get("kernel") == "pallas" and r.get("backend") == "tpu"
     ]
     skipped = len(rows) - len(results)
     if not results:

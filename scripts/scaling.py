@@ -18,7 +18,9 @@ def print_scalings(results):
             continue
         key = (r["grid"], r["kernel"], r.get("backend", "?"),
                r.get("mode", "hardware"))
-        by_grid[key][r["devices"]] = r["seconds"]
+        # Per-step time: --append-merged files can hold rows measured
+        # at different --iters for different device counts.
+        by_grid[key][r["devices"]] = r["seconds"] / max(r.get("iters", 1), 1)
     for (grid, kernel, backend, mode), times in sorted(by_grid.items()):
         if 1 not in times:
             continue

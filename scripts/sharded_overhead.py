@@ -130,10 +130,11 @@ def main(argv=None):
         print("RESULT " + json.dumps({"seconds": s, "glups": g}))
         return 0
 
-    import jax
-
-    results = {"backend": jax.default_backend(),
-               "iters": args.iters,
+    # No backend probe in the parent: jax.default_backend() INITIALISES
+    # the backend and hangs on a down tunnel (CLAUDE.md) — the whole
+    # point of the per-leg subprocess guards. The platform is implied
+    # by the measurement method.
+    results = {"iters": args.iters,
                "method": "1-device-mesh sharded program vs unsharded "
                          "(both legs LBM_RESIDENT=0: blocked kernel), "
                          "2000-iter marginals, best of repeats, one "

@@ -50,6 +50,12 @@ GRID_SCENES = {
     "128x32": (128, 32, 100, 0.005),
 }
 
+# Grids that exist ONLY for interpret-mode functional rows. Compiling
+# a tiny SHARDED pallas program on the real chip crashed the remote
+# compile helper and took the TPU session down for an hour+ (CLAUDE.md)
+# — refuse rather than risk the shared session.
+INTERPRET_ONLY = {"512x64", "64x64", "128x32"}
+
 
 def run_config(grid, kernel, n_devices, iters, repeats):
     import os
@@ -79,6 +85,15 @@ def run_config(grid, kernel, n_devices, iters, repeats):
         os.environ.pop("LBM_RESIDENT_INPLACE", None)
 
     nx, ny, default_iters, accel = GRID_SCENES[grid]
+    if grid in INTERPRET_ONLY:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            raise RuntimeError(
+                f"{grid} is an interpret-only functional grid; run it "
+                "with --platform cpu (tiny sharded Mosaic compiles have "
+                "crashed the shared TPU session — CLAUDE.md)"
+            )
     iters = iters or min(default_iters, 2000)
     params = Params(nx=nx, ny=ny, max_iters=iters, reynolds_dim=10,
                     density=np.float32(0.1), accel=np.float32(accel),
@@ -175,7 +190,24 @@ def main(argv=None):
 
         provision_virtual_cpu(max(args.devices))
 
+    def key(r):
+        return (r.get("grid"), r.get("kernel"), r.get("devices"),
+                r.get("backend"))
+
+    out = Path(args.output)
     results = []
+
+    def flush_results():
+        # Written after EVERY row: TPU cells run in-process (a hung
+        # tunnel call is not an Exception), so incremental writes keep
+        # the completed rows if the sweep stalls mid-run.
+        rows = results
+        if args.append and out.exists():
+            merged = {key(r): r for r in json.loads(out.read_text())}
+            merged.update({key(r): r for r in results})
+            rows = list(merged.values())
+        out.write_text(json.dumps(rows, indent=2) + "\n")
+
     for grid, kernel, nd in itertools.product(args.grids, args.kernels, args.devices):
         try:
             r = run_config(grid, kernel, nd, args.iters, args.repeats)
@@ -184,16 +216,7 @@ def main(argv=None):
                  "error": f"{type(exc).__name__}: {exc}"}
         print(json.dumps(r), flush=True)
         results.append(r)
-    out = Path(args.output)
-    if args.append and out.exists():
-        def key(r):
-            return (r.get("grid"), r.get("kernel"), r.get("devices"),
-                    r.get("backend"))
-
-        merged = {key(r): r for r in json.loads(out.read_text())}
-        merged.update({key(r): r for r in results})
-        results = list(merged.values())
-    out.write_text(json.dumps(results, indent=2) + "\n")
+        flush_results()
     return 0
 
 

@@ -114,7 +114,8 @@ def main() -> int:
     if args.capture:
         capture(args.tracedir, args.iters)
     report = summarise(args.tracedir)
-    os.makedirs(os.path.dirname(args.output), exist_ok=True)
+    from pathlib import Path
+    Path(args.output).parent.mkdir(parents=True, exist_ok=True)
     with open(args.output, "w") as f:
         json.dump(report, f, indent=2)
     print(f"{'process':<28} {'op':<44} {'total_us':>10} {'count':>7} {'pct':>6}")

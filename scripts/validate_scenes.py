@@ -12,7 +12,7 @@ stripped from this mirror (.MISSING_LARGE_BLOBS), so 256x256 and
 percentage diff, check/check.py:83-99).
 
 Every scene runs under BOTH f32 associations (the drift-budget gate,
-VERDICT r2 #4): the fast default (paired + omega-absorbed equilibrium)
+VERDICT r2 #4): the fast default (the paired equilibrium association)
 and the reference's term-by-term association (LBM_PAIRED_EQ=0). The
 artifact records both; ``ok`` additionally requires the fast path's max
 diff <= DRIFT_BUDGET_PCT (0.3%), so future reassociating optimisations
@@ -45,7 +45,8 @@ TOLERANCE = 1.0  # check.py's default max %diff gate
 DRIFT_BUDGET_PCT = 0.3
 # The two f32 associations: the shipping default and the reference's.
 ASSOCIATIONS = {
-    "fast": {},  # paired + omega-absorbed equilibrium (the defaults)
+    "fast": {},  # the paired equilibrium (the default; omega-absorbed
+    #              relax stays opt-in via LBM_OMEGA_EQ and is NOT here)
     "reference_assoc": {"LBM_PAIRED_EQ": "0"},
 }
 
@@ -151,7 +152,9 @@ def main(argv=None):
     import jax
 
     results = {
-        "backend": jax.default_backend(),
+        # No parent backend probe (a down tunnel would hang before the
+        # first guarded scene subprocess, CLAUDE.md); scenes record
+        # their own failures per-case.
         "kernel": args.kernel,
         "tolerance_pct": TOLERANCE,
         "drift_budget_pct": DRIFT_BUDGET_PCT,

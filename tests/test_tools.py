@@ -87,8 +87,14 @@ def test_plot_script(tmp_path):
 def test_plot_roofline_script(tmp_path):
     import json
 
+    # backend 'tpu' required: the roofline plots hardware rows only
+    # (functional interpret rows would be meaningless on the v5e roofs).
     data = [{"grid": "1024x1024", "kernel": "pallas", "devices": 1,
-             "iters": 100, "seconds": 0.01, "glups": 10.0}]
+             "iters": 100, "seconds": 0.01, "glups": 10.0,
+             "backend": "tpu"},
+            {"grid": "64x64", "kernel": "pallas", "devices": 1,
+             "iters": 100, "seconds": 0.01, "glups": 0.001,
+             "backend": "cpu", "mode": "functional-not-hardware"}]
     f = tmp_path / "sweep.json"
     f.write_text(json.dumps(data))
     out = tmp_path / "roofline.png"
