@@ -112,6 +112,18 @@ def _tpu_alive(timeout_s: float = 60.0) -> bool:
         return False
 
 
+def _error_kind(err: str) -> str:
+    """Canonical identity of a measurement error: digits and path-like
+    tokens stripped, truncated — so two attempts of the same
+    deterministic failure compare equal even when the message embeds
+    per-run temp paths, device addresses, or timings."""
+    import re
+
+    kind = re.sub(r"/[^\s:]+", "<path>", err)
+    kind = re.sub(r"0x[0-9a-fA-F]+|\d+", "<n>", kind)
+    return kind[:160]
+
+
 def main() -> int:
     kernel = sys.argv[1] if len(sys.argv) > 1 else "auto"
 
@@ -129,6 +141,7 @@ def main() -> int:
     headline = None
     last_error = None
     same_error = 0
+    hard_errors = 0
     for attempt in range(attempts):
         if _tpu_alive():
             line = _stress_line(
@@ -139,21 +152,41 @@ def main() -> int:
                 headline = line
                 break
             err = line.get("error", "no output")
-            same_error = same_error + 1 if err == last_error else 1
-            last_error = err
+            # Compare error IDENTITY, not text: per-run paths/addresses/
+            # timings vary between attempts of the same deterministic
+            # failure (review finding — a varying message used to retry
+            # the full ~40-minute probe loop for a failure that was
+            # deterministic from attempt 1).
+            kind = _error_kind(err)
+            same_error = same_error + 1 if kind == last_error else 1
+            last_error = kind
+            if "timeout" not in kind:
+                hard_errors += 1
             print(json.dumps({"attempt": attempt, "error": err[:300]}),
                   file=sys.stderr, flush=True)
-            if same_error >= 2 and "timeout" not in err:
+            if "timeout" not in kind and (same_error >= 2 or hard_errors >= 4):
                 break  # deterministic failure; retrying cannot help
         if attempt < attempts - 1:
             time.sleep(90)
     if headline is None:
+        if last_error and "timeout" not in last_error:
+            # The TPU was ALIVE and the measurement failed anyway
+            # (compile error, diverged trajectory): that is a real
+            # regression, not unavailability — report it as a failure
+            # (no "value" key, nonzero exit) instead of letting a CPU
+            # fallback number masquerade as the headline (review
+            # finding).
+            print(json.dumps({
+                "metric": "GLUPS_1024x1024",
+                "error": f"tpu_measurement_failed: {last_error[:240]}",
+            }))
+            return 1
         import jax
 
         jax.config.update("jax_platforms", "cpu")
         glups, dt = bench(kernel="reference", iters=200, repeats=1)
         note = (
-            f"tpu_measurement_failed: {last_error[:200]}"
+            f"tpu_timeout_cpu_fallback: {last_error[:200]}"
             if last_error else "tpu_unavailable_cpu_fallback"
         )
         print(json.dumps({

@@ -1355,7 +1355,7 @@ def plan_iters(params: Params, iters: int,
     return main, tail
 
 
-def make_carry_step(params: Params, ny: int, nx: int, paired: bool = True,
+def make_carry_step(params: Params, paired: bool = True,
                     n_iters: int | None = None,
                     backend: str | None = None):
     """Pick the execution layout (transposed when the grid is much wider

@@ -135,7 +135,7 @@ def _select_impl(kernel: str, params: Params, paired: bool = True,
         from lbm_tpu.ops import pallas_fused
 
         return pallas_fused.make_carry_step(
-            params, params.ny, params.nx, paired=paired, n_iters=n_iters
+            params, paired=paired, n_iters=n_iters
         )
     raise ValueError(f"unknown kernel {kernel!r}")
 

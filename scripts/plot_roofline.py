@@ -44,7 +44,7 @@ def _row_depth(r) -> int:
     # tunnelled TPU backend can hang for an hour when the session is
     # down; plotting must not depend on the chip being up).
     return make_carry_step(
-        params, ny, nx, n_iters=r["iters"],
+        params, n_iters=r["iters"],
         backend=r.get("backend") or "cpu",
     ).fused
 

@@ -88,7 +88,7 @@ def test_random_wide_scene_transposed(seed):
 
     params, obstacles = random_scene(seed, ny=16, nx=128)
     assert isinstance(
-        make_carry_step(params, params.ny, params.nx), TransposedCarryStep
+        make_carry_step(params), TransposedCarryStep
     )
     inv = num_non_obstacles_r(obstacles)
     obs = jnp.asarray(obstacles)
