@@ -105,3 +105,44 @@ def test_plot_roofline_script(tmp_path):
     )
     assert res.returncode == 0, res.stderr
     assert out.stat().st_size > 0
+
+
+def test_bench_error_kind_canonicalises_run_specifics():
+    """bench.py's deterministic-failure detection compares error IDENTITY:
+    per-run temp paths, addresses, and timings must not defeat it (a
+    varying message used to retry the full probe loop for a failure that
+    was deterministic from attempt 1)."""
+    sys.path.insert(0, str(REPO))
+    from bench import _error_kind
+
+    a = _error_kind("Mosaic failed at /tmp/x123/k.mlir:7 addr 0xdead in 1.2s")
+    b = _error_kind("Mosaic failed at /tmp/y999/k.mlir:7 addr 0xbeef in 9.8s")
+    assert a == b
+    # Timeouts keep their identity (they stay retryable).
+    assert "timeout" in _error_kind("timeout after 900s")
+    # Different failures stay distinct.
+    assert _error_kind("diverged trajectory") != a
+
+
+def test_bench_deterministic_tpu_failure_is_reported_not_masked(
+    monkeypatch, capsys
+):
+    """A measurement that FAILS while the TPU is alive must yield an
+    error metric line and a nonzero exit — never a CPU-fallback number
+    masquerading as the headline (round-3 review finding)."""
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    monkeypatch.setattr(bench, "_tpu_alive", lambda *a, **k: True)
+    monkeypatch.setattr(
+        bench, "_stress_line",
+        lambda *a, **k: {"metric": "GLUPS_1024x1024",
+                         "error": "Mosaic failed at /tmp/r1/k.mlir:7"},
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    rc = bench.main()
+    assert rc == 1
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["metric"] == "GLUPS_1024x1024"
+    assert "value" not in line
+    assert line["error"].startswith("tpu_measurement_failed")
