@@ -1340,9 +1340,12 @@ def plan_iters(params: Params, iters: int,
     cls, rows, lanes = _layout(params)
     from lbm_tpu.ops import pallas_resident as pr
 
-    prefs = pr.resident_prefs(rows, lanes, backend=backend)
+    transposed = cls is TransposedCarryStep
+    prefs = pr.resident_prefs(rows, lanes, backend=backend,
+                              transposed=transposed)
     if prefs and iters > 0:
-        if pr.resident_gsteps(rows, lanes, iters, backend=backend):
+        if pr.resident_gsteps(rows, lanes, iters, backend=backend,
+                              transposed=transposed):
             return iters, 0
         main = iters - iters % prefs[0]
         if main:
@@ -1374,7 +1377,8 @@ def make_carry_step(params: Params, paired: bool = True,
     cls, rows, lanes = _layout(params)
     from lbm_tpu.ops import pallas_resident as pr
 
-    g = pr.resident_gsteps(rows, lanes, n_iters, backend=backend)
+    g = pr.resident_gsteps(rows, lanes, n_iters, backend=backend,
+                           transposed=cls is TransposedCarryStep)
     if g:
         rcls = (
             pr.TransposedResidentStep

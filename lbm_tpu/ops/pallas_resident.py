@@ -341,7 +341,8 @@ def _pinned_steps(even: bool) -> int | None:
 
 
 def resident_prefs(
-    rows: int, lanes: int, backend: str | None = None
+    rows: int, lanes: int, backend: str | None = None,
+    transposed: bool = False,
 ) -> tuple[int, ...] | None:
     """Step-granularity preference list when the (possibly transposed)
     ``rows`` x ``lanes`` lattice qualifies for residency, else None.
@@ -372,6 +373,17 @@ def resident_prefs(
     n_bufs = 1 if _inplace_mode(state_bytes, rows * lanes) else 2
     if n_bufs * state_bytes + rows * lanes + (24 << 20) > _VMEM_CAP:
         return None
+    # TRANSPOSED states never auto-select the in-place mode: measured
+    # on chip at 16384 rows x 128 lanes (a plain 16384x128 scene), the
+    # in-place transposed kernel register-spills so hard it runs at
+    # 0.02 GLUPS vs the blocked kernel's 4.56 — a 227x loss with
+    # bit-identical trajectories (docs/PERF.md "v8/v9 spill wall");
+    # the sharded ring twin OOMs the 128-MiB VMEM outright at that
+    # shape. Row-layout in-place (the measured 20.62-GLUPS 2048x1024
+    # window) is unaffected; LBM_RESIDENT_INPLACE=1 still forces for
+    # A/B runs.
+    if n_bufs == 1 and transposed and _inplace_override() is None:
+        return None
     by = _pick_block_rows(rows, lanes)
     if rows % 8 or by % 8 or rows % by:
         return None
@@ -380,12 +392,14 @@ def resident_prefs(
 
 
 def resident_gsteps(rows: int, lanes: int, n_iters: int | None,
-                    backend: str | None = None) -> int | None:
+                    backend: str | None = None,
+                    transposed: bool = False) -> int | None:
     """The preferred step count per call for an ``n_iters``-step run,
     or None when residency doesn't apply (ineligible geometry/size, no
     preference divides ``n_iters``, or no length given — the
     single-step debug path)."""
-    prefs = resident_prefs(rows, lanes, backend=backend)
+    prefs = resident_prefs(rows, lanes, backend=backend,
+                           transposed=transposed)
     if not prefs or not n_iters:
         return None
     for g in prefs:

@@ -429,18 +429,19 @@ def _shard_segments(params: Params, decomp: RowDecomposition, kernel: str,
         # LBM_SHARD_RESIDENT=1): G steps per call with in-kernel seam
         # RDMA; indivisible counts run a ring main segment and re-plan
         # the tail (mirrors runner._segments' resident planning).
-        g = rr.ring_gsteps(local_ny, width, iters)
+        g = rr.ring_gsteps(local_ny, width, iters, transposed=transposed)
         if g:
             return [(rr.make_ring_impl(params, decomp, transposed, g),
                      iters)]
-        prefs = rr.ring_prefs(local_ny, width)
+        prefs = rr.ring_prefs(local_ny, width, transposed=transposed)
         if prefs:
             main = iters - iters % prefs[0]
             if main:
                 return [
                     (rr.make_ring_impl(
                         params, decomp, transposed,
-                        rr.ring_gsteps(local_ny, width, main)), main),
+                        rr.ring_gsteps(local_ny, width, main,
+                                       transposed=transposed)), main),
                 ] + _shard_segments(params, decomp, kernel, iters - main,
                                     transposed)
         main, tail, probe = plan_split(

@@ -114,6 +114,31 @@ _RING_VMEM_CEIL = int(
 )
 
 
+# Ring row blocks are capped at HALF the blocked kernel's 4.5-MB block
+# (64Ki cells): Mosaic's register-allocator spill for this kernel body
+# measures ~13x the block bytes (57.9 MB at 4.5-MB blocks — the real-TPU
+# OOM on the 16384x128 in-place transposed case, which landed 1.9 MB
+# past the 128-MiB hardware cap; docs/PERF.md "v9 sizing"). 2.25-MB
+# blocks put every in-place window ~27 MB under the cap instead.
+_RING_BLOCK_ELEMS = 64 * 1024
+
+
+def _ring_block_rows(rows: int, lanes: int) -> int:
+    """Ring-kernel row-block size: ``_pick_block_rows`` capped to
+    ``_RING_BLOCK_ELEMS`` cells (see above — spill scales with block
+    bytes, and the resident buffer leaves far less slack than the
+    blocked kernel's streaming slots) AND to rows/4, so a small shard
+    still splits into >= 4 blocks — with fewer, both boundary blocks
+    ARE the shard and the per-step seam RDMA has no interior window to
+    hide under (the overlap the whole block order exists for)."""
+    by = _pick_block_rows(rows, lanes)
+    cap = max(8, min(_RING_BLOCK_ELEMS // lanes, rows // 4))
+    if by <= cap:
+        return by
+    fitting = [d for d in range(8, cap + 1, 8) if rows % d == 0]
+    return fitting[-1] if fitting else by
+
+
 def _ring_aux_bytes(rows: int, lanes: int) -> int:
     """Non-state VMEM the ring kernel needs besides the resident
     buffer(s): the int8 masks (obstacles + the dynamic accel mask of
@@ -127,15 +152,15 @@ def _ring_aux_bytes(rows: int, lanes: int) -> int:
 
 def _ring_vmem_bytes(n_bufs: int, rows: int, lanes: int, by: int) -> int:
     """Scoped-VMEM budget for a ring configuration: the resident
-    buffer(s) + masks/tile-padded seams + an explicit block working-set
-    allowance (5 nine-speed row blocks — body, streamed and equilibrium
-    temporaries; ~22.5 MiB at the largest by=128/1024-lane blocks,
-    comparable to the flat 24-MiB slack the single-chip resident kernel
-    uses, which would double-count the ring's extra mask + seam
-    slots). At the 75.5-MB in-place window this totals ~100.8 MiB —
-    past the default 100-MiB scoped cap but well under the ring
+    buffer(s) + masks/tile-padded seams + a block working-set allowance
+    CALIBRATED against real Mosaic: the register allocator spilled
+    57.9 MB for 4.5-MB blocks (~13x block bytes) on the in-place
+    transposed case — the earlier 5x model under-counted by half and
+    let that case OOM the 128-MiB hardware by 1.9 MB. With blocks
+    capped at _RING_BLOCK_ELEMS the 75.5-MB in-place window budgets
+    ~106 MiB — past the default 100-MiB scoped cap but under the ring
     ceiling (_RING_VMEM_CEIL) and the 128-MiB hardware."""
-    working = max(5 * Q * by * lanes * 4, 8 << 20)
+    working = max(13 * Q * by * lanes * 4, 8 << 20)
     return n_bufs * Q * rows * lanes * 4 + _ring_aux_bytes(rows, lanes) \
         + working
 
@@ -163,7 +188,7 @@ def _ring_n_bufs(rows: int, lanes: int, by: int) -> int | None:
 def ring_buffer_mode(rows: int, lanes: int) -> str | None:
     """'double' | 'inplace' | None for a per-shard shape — the
     diagnostic the harness scripts record in their artifacts."""
-    by = _pick_block_rows(rows, lanes)
+    by = _ring_block_rows(rows, lanes)
     if rows % by:
         return None
     n = _ring_n_bufs(rows, lanes, by)
@@ -223,12 +248,12 @@ def _kernel_ring(*refs, by, h, omega, accel, gsteps, n_shards,
         dn = lax.rem(my - 1 + np.int32(n_shards), np.int32(n_shards))
 
     if accel.axis == 1:
+        # One (1, nx) forced-lane indicator for every load width — it
+        # broadcasts over (m, nx) bit-identically, and a full (by, nx)
+        # copy per body load measurably spills (~the last MBs of the
+        # 128-MiB VMEM OOM on the 16384x128 in-place transposed shard).
         lane1 = (
             jax.lax.broadcasted_iota(jnp.int32, (1, nx), 1)
-            == np.int32(accel.index)
-        ).astype(jnp.float32)
-        lane_blk = (
-            jax.lax.broadcasted_iota(jnp.int32, (by, nx), 1)
             == np.int32(accel.index)
         ).astype(jnp.float32)
 
@@ -250,7 +275,7 @@ def _kernel_ring(*refs, by, h, omega, accel, gsteps, n_shards,
         dynamic mask rows under row sharding, the static lane column
         when transposed."""
         if accel.axis == 1:
-            return lane_blk if m == by else lane1
+            return lane1
         if dynamic_accel:
             return (acc_ref[r0 : r0 + m, :] != 0).astype(jnp.float32)
         return np.float32(0.0)
@@ -444,7 +469,7 @@ def _pallas_ring(cells, obs_i8, accel_mask, *, omega_f, accel, gsteps,
     is donated to the output (alias 0->0) so the stepping loop's carry
     slot keeps one fixed HBM buffer per shard."""
     q, h, nx = cells.shape
-    by = _pick_block_rows(h, nx)
+    by = _ring_block_rows(h, nx)
     assert h % by == 0 and gsteps >= 2 and gsteps % 2 == 0, (h, by, gsteps)
     n_bufs = _ring_n_bufs(h, nx, by)
     assert n_bufs is not None, (h, nx, by)
@@ -484,7 +509,13 @@ def _pallas_ring(cells, obs_i8, accel_mask, *, omega_f, accel, gsteps,
                 _RING_VMEM_CEIL,
                 _ring_vmem_bytes(n_bufs, h, nx, by),
             ),
-            collective_id=0,
+            # The RDMA barrier id is only legal when the kernel actually
+            # emits remote copies; on a 1-shard mesh the ring closes
+            # locally (no RDMA in the binary) and Mosaic rejects the
+            # param at trace time — found by scripts/tpu_mosaic_check.py
+            # (the 1-device hardware-structure proof was unreachable
+            # until this became conditional).
+            **({"collective_id": 0} if n_shards > 1 else {}),
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(100 * gsteps * h * nx),
@@ -498,7 +529,8 @@ def _pallas_ring(cells, obs_i8, accel_mask, *, omega_f, accel, gsteps,
 
 
 def ring_prefs(local_rows: int, lanes: int,
-               backend: str | None = None) -> tuple[int, ...] | None:
+               backend: str | None = None,
+               transposed: bool = False) -> tuple[int, ...] | None:
     """Step-granularity preference list when the per-shard lattice
     qualifies for ring residency, else None.
 
@@ -511,15 +543,28 @@ def ring_prefs(local_rows: int, lanes: int,
     ceiling, the block plan tiles the shard evenly, and on real TPU the same 8-aligned-rows
     rule as the blocked sharded path (resolve_shard_kernel).
     ``backend`` overrides the backend probe so analysis paths never
-    initialise a backend (CLAUDE.md)."""
+    initialise a backend (CLAUDE.md).
+
+    TRANSPOSED shards never auto-select the IN-PLACE mode: measured on
+    the chip, the transposed in-place kernel's register spill OOMs the
+    128-MiB VMEM at the 72-MB production shard (16384x128, exceeded by
+    0.85 MB) and spill-thrashes at half that size (8192x128 compiles
+    but runs ~100x slower than the blocked path) — the blocked
+    seam-halo path is faster there anyway (its depth-8 rate at 128
+    lanes is the 131072x128 headline). Double-buffer transposed rings
+    are fine (proven on-chip at 2048x256). LBM_RESIDENT_INPLACE=1
+    still forces the mode for A/B runs."""
     if os.environ.get("LBM_SHARD_RESIDENT") != "1":
         return None
     if local_rows < 2:
         return None
-    by = _pick_block_rows(local_rows, lanes)
+    by = _ring_block_rows(local_rows, lanes)
     if local_rows % by:
         return None
-    if _ring_n_bufs(local_rows, lanes, by) is None:
+    n_bufs = _ring_n_bufs(local_rows, lanes, by)
+    if n_bufs is None:
+        return None
+    if n_bufs == 1 and transposed and _inplace_override() is None:
         return None
     if (backend or jax.default_backend()) == "tpu" and (
         local_rows % 8 or by % 8
@@ -531,10 +576,12 @@ def ring_prefs(local_rows: int, lanes: int,
 
 
 def ring_gsteps(local_rows: int, lanes: int, n_iters: int | None,
-                backend: str | None = None) -> int | None:
+                backend: str | None = None,
+                transposed: bool = False) -> int | None:
     """The preferred step count per call for an ``n_iters``-step
     segment, or None when ring residency doesn't apply."""
-    prefs = ring_prefs(local_rows, lanes, backend=backend)
+    prefs = ring_prefs(local_rows, lanes, backend=backend,
+                       transposed=transposed)
     if not prefs or not n_iters:
         return None
     for g in prefs:

@@ -24,6 +24,11 @@ import numpy as np  # noqa: E402
 
 
 def check_case(name, nx, ny, iters, ring=False):
+    """``ring`` = False (blocked seam-halo path), True (assert the
+    planner selects the v9 ring impl), or "fallback" (LBM_SHARD_RESIDENT
+    is ON but the planner must REFUSE the ring — the measured
+    transposed-in-place spill gate, ring_prefs — and run the blocked
+    path instead)."""
     import os
 
     import jax
@@ -54,11 +59,17 @@ def check_case(name, nx, ny, iters, ring=False):
     if ring:
         from lbm_tpu.parallel import resident_ring as rr
 
-        assert rr.ring_planned(params, mesh, iters), (
-            f"{name}: planner did not select the ring impl"
-        )
-        rows, lanes = (nx, ny) if transposed else (ny, nx)
-        buffer_mode = rr.ring_buffer_mode(rows, lanes)
+        planned = rr.ring_planned(params, mesh, iters)
+        if ring == "fallback":
+            assert not planned, (
+                f"{name}: the spill gate should have refused the ring"
+            )
+        else:
+            assert planned, (
+                f"{name}: planner did not select the ring impl"
+            )
+            rows, lanes = (nx, ny) if transposed else (ny, nx)
+            buffer_mode = rr.ring_buffer_mode(rows, lanes)
 
     base = run_simulation(params, obstacles, kernel="reference")
     solo = run_simulation(params, obstacles, kernel="pallas")
@@ -128,13 +139,20 @@ def main(argv=None):
         ("pallas/resident-ring", 512, 1024, True),
         ("pallas/resident-ring-x", 2048, 256, True),
         # Single-buffer IN-PLACE ring mode (auto-selected when two
-        # buffers overflow the scoped cap): these are the exact
-        # per-shard shapes of the production grids on an 8-device mesh
-        # (16384x1024 row-sharded -> 2048x1024; 131072x128 transposed
-        # -> 16384 rows x 128 lanes), so a pass proves the Mosaic
-        # binary the multi-chip in-place ring would run.
+        # buffers overflow the scoped cap): the exact per-shard shape
+        # of 16384x1024 row-sharded over 8 devices (2048 rows x 1024
+        # lanes), so a pass proves the Mosaic binary the multi-chip
+        # in-place ring would run.
         ("pallas/resident-ring-inplace", 1024, 2048, True),
-        ("pallas/resident-ring-inplace-x", 16384, 128, True),
+        # The OTHER production in-place shape (131072x128 transposed
+        # over 8 -> 16384 rows x 128 lanes) is measured-refused:
+        # transposed in-place register spill OOMs the 128-MiB VMEM
+        # there (by 0.85 MB) and spill-thrashes at half size, so
+        # ring_prefs gates it and the planner must fall back to the
+        # blocked seam-halo path (whose depth-8 transposed kernel IS
+        # the 131072x128 headline) even with the ring opted in.
+        ("pallas/resident-ring-inplace-x-fallback", 16384, 128,
+         "fallback"),
     ]
     # Per-case error capture so one failed Mosaic compile still yields a
     # written artifact with the other cases' results (a hung device call

@@ -64,21 +64,43 @@ RING_SHARDS = [
     ("512x1024 per chip (ring)", 512, 1024, 15.2),
     ("2048x1024 per chip (ring in-place)", 2048, 1024, 20.62),
 ]
-RING_BOUNDARY_ROWS = 16  # two 8-row boundary blocks
+def _ring_block_rows(rows: int, lanes: int) -> int:
+    """The ring kernel's row-block size — a numpy-free mirror of
+    lbm_tpu.parallel.resident_ring._ring_block_rows (this script stays
+    importable without jax; tests/test_tools.py pins the two against
+    each other): the largest 8-multiple divisor of ``rows`` whose
+    9-speed f32 block fits the 6-MiB slot budget, capped at 64Ki cells
+    (measured Mosaic spill is ~13x the block bytes)."""
+    budget = max(1, 6 * 1024 * 1024 // (9 * lanes * 4))
+    cap = min(budget, max(8, min(64 * 1024 // lanes, rows // 4)))
+    aligned = [d for d in range(1, rows + 1) if rows % d == 0 and d % 8 == 0]
+    fitting = [d for d in aligned if d <= cap]
+    if fitting:
+        return fitting[-1]
+    return aligned[0] if aligned else rows
+
+
+def _ring_boundary_rows(rows: int, lanes: int) -> int:
+    """Rows in the two boundary blocks that cannot start before the
+    seams arrive — 2x the ring kernel's actual row-block size (by is
+    shape-dependent and spill-capped)."""
+    return 2 * _ring_block_rows(rows, lanes)
 
 
 def ring_model(rows: int, lanes: int, glups: float, n: int) -> dict:
     cells = rows * lanes
     t_comp = cells / (glups * 1e9)
+    boundary = _ring_boundary_rows(rows, lanes)
     if n == 1:
         exposed = 0.0
         t_halo = 0.0
     else:
         t_halo = 2 * 9 * lanes * 4 / (ICI_GBPS * 1e9) + 2 * ICI_LAT_US * 1e-6
-        window = t_comp * max(0, rows - RING_BOUNDARY_ROWS) / rows
+        window = t_comp * max(0, rows - boundary) / rows
         exposed = max(0.0, t_halo - window)
     return {
         "devices": n,
+        "boundary_rows": boundary,
         "t_compute_us": t_comp * 1e6,
         "t_halo_us": t_halo * 1e6,
         "t_halo_exposed_us": exposed * 1e6,
@@ -128,7 +150,8 @@ def main(argv=None):
                        "(resident_crossover.json); the in-place ring row "
                        "uses the measured single-chip v8.1 in-place rate "
                        "at 2048x1024 (docs/PERF.md: 20.62 GLUPS)",
-            "ring_boundary_rows": RING_BOUNDARY_ROWS,
+            "ring_boundary_rows": "2x the shape's spill-capped block "
+                                  "(per-row boundary_rows fields)",
         },
         "reference_halo_fraction": 0.23,  # report_mpi/report.tex:164-165
         "grids": {},

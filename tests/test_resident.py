@@ -217,6 +217,16 @@ def test_resident_ineligible_geometry(monkeypatch):
     assert resident_prefs(30, 64) is None  # rows not 8-aligned
     assert resident_prefs(1024, 1024) is not None  # the headline grid
     assert resident_prefs(32, 64) is not None
+    # Transposed states never AUTO-select the in-place mode: measured
+    # 227x slower than the blocked kernel at 16384 rows x 128 lanes
+    # (register-spill thrash; docs/PERF.md). Row-layout in-place and
+    # transposed double-buffer stay eligible; the force wins for A/B.
+    assert resident_prefs(16384, 128, transposed=True) is None
+    assert resident_prefs(16384, 128, transposed=False) is not None
+    assert resident_prefs(1024, 512, transposed=True) is not None
+    monkeypatch.setenv("LBM_RESIDENT_INPLACE", "1")
+    assert resident_prefs(16384, 128, transposed=True) is not None
+    monkeypatch.delenv("LBM_RESIDENT_INPLACE")
 
 
 def test_recursive_segment_planning(monkeypatch):

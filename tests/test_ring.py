@@ -47,16 +47,33 @@ def test_ring_gating(monkeypatch):
     assert rr.ring_prefs(2048, 1024) == rr._G_PREF
     assert rr.ring_prefs(4096, 1024) is None
     # One sizing rule for mode + gate (_ring_n_bufs): shapes where the
-    # by-dependent working set pushes TWO buffers past the ring ceiling
-    # fall back to in-place instead of being rejected (1280x1024:
-    # by=160, double 128.8 MB > 112-MiB ceiling, single 81.7 MB fits).
-    assert rr._ring_n_bufs(1280, 1024, 160) == 1
+    # buffers + calibrated working set push TWO buffers past the ring
+    # ceiling fall back to in-place instead of being rejected
+    # (1280x1024: by=64, double ~125 MB > 112-MiB ceiling, single
+    # ~81 MB fits).
+    assert rr._ring_n_bufs(1280, 1024, rr._ring_block_rows(1280, 1024)) == 1
+    # The ring block cap (measured spill ~13x block bytes) halves the
+    # blocked kernel's 4.5-MB / 128Ki-cell block to 64Ki cells.
+    assert rr._ring_block_rows(2048, 1024) == 64
+    assert rr._ring_block_rows(16384, 128) == 512
+    assert rr._ring_block_rows(8, 64) == 8  # cap never starves a shard
     assert rr.ring_prefs(1280, 1024) == rr._G_PREF
     assert rr.ring_buffer_mode(1280, 1024) == "inplace"
     assert rr.ring_buffer_mode(2048, 1024) == "inplace"
     assert rr.ring_buffer_mode(16384, 128) == "inplace"
     assert rr.ring_buffer_mode(512, 1024) == "double"
     assert rr.ring_buffer_mode(4096, 1024) is None
+    # Transposed shards never AUTO-select the in-place mode: measured
+    # on chip, its register spill OOMs the 128-MiB VMEM at the 72-MB
+    # production shard (16384x128) and spill-thrashes ~100x at half
+    # size. Double-buffer transposed rings stay eligible, and the
+    # LBM_RESIDENT_INPLACE force still wins for A/B runs.
+    assert rr.ring_prefs(16384, 128, transposed=True) is None
+    assert rr.ring_prefs(16384, 128, transposed=False) == rr._G_PREF
+    assert rr.ring_prefs(2048, 256, transposed=True) == rr._G_PREF
+    monkeypatch.setenv("LBM_RESIDENT_INPLACE", "1")
+    assert rr.ring_prefs(16384, 128, transposed=True) == rr._G_PREF
+    monkeypatch.delenv("LBM_RESIDENT_INPLACE")
     # LBM_RESIDENT_INPLACE=0 pins double-buffer mode -> 2048x1024 no
     # longer fits.
     monkeypatch.setenv("LBM_RESIDENT_INPLACE", "0")

@@ -146,3 +146,22 @@ def test_bench_deterministic_tpu_failure_is_reported_not_masked(
     assert line["metric"] == "GLUPS_1024x1024"
     assert "value" not in line
     assert line["error"].startswith("tpu_measurement_failed")
+
+
+def test_weak_scaling_model_block_mirror():
+    """The analytic model's numpy-free mirror of the ring block rule
+    must match the package's real picker on every modeled shard shape
+    (the script deliberately avoids importing the jax solver stack)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "wsm", REPO / "scripts/weak_scaling_model.py")
+    wsm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wsm)
+    from lbm_tpu.parallel.resident_ring import _ring_block_rows
+
+    shapes = [(rows, lanes) for _, rows, lanes, _ in wsm.RING_SHARDS]
+    shapes += [(1024 // n, 1024) for n in (2, 4, 8, 16, 32, 64)]
+    for rows, lanes in shapes:
+        assert wsm._ring_block_rows(rows, lanes) == \
+            _ring_block_rows(rows, lanes), (rows, lanes)
