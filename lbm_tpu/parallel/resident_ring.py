@@ -115,11 +115,17 @@ _RING_VMEM_CEIL = int(
 
 
 # Ring row blocks are capped at HALF the blocked kernel's 4.5-MB block
-# (64Ki cells): Mosaic's register-allocator spill for this kernel body
-# measures ~13x the block bytes (57.9 MB at 4.5-MB blocks — the real-TPU
-# OOM on the 16384x128 in-place transposed case, which landed 1.9 MB
-# past the 128-MiB hardware cap; docs/PERF.md "v9 sizing"). 2.25-MB
-# blocks put every in-place window ~27 MB under the cap instead.
+# (64Ki cells). Measured on the chip (16384x128 in-place TRANSPOSED
+# shard), the register-allocator spill for that body is essentially
+# block-size INVARIANT — 57.90 MB at 4.5-MB blocks (OOM'd the 128-MiB
+# hardware VMEM by 1.9 MB), 56.83 MB at the capped 2.25-MB blocks
+# (still 0.85 MB past) — per-block live sets sum over the whole shard,
+# so shrinking blocks re-slices the same total. The cap therefore does
+# NOT fix that pathology (ring_prefs refuses transposed in-place
+# categorically); it cuts the explicit block working set, which
+# measured 2.4x FASTER on the row-layout in-place Mosaic case
+# (0.134 s -> 0.056 s / 200 steps) and keeps >= 4 blocks per shard so
+# seam RDMAs have interior compute to hide under.
 _RING_BLOCK_ELEMS = 64 * 1024
 
 
@@ -152,14 +158,19 @@ def _ring_aux_bytes(rows: int, lanes: int) -> int:
 
 def _ring_vmem_bytes(n_bufs: int, rows: int, lanes: int, by: int) -> int:
     """Scoped-VMEM budget for a ring configuration: the resident
-    buffer(s) + masks/tile-padded seams + a block working-set allowance
-    CALIBRATED against real Mosaic: the register allocator spilled
-    57.9 MB for 4.5-MB blocks (~13x block bytes) on the in-place
-    transposed case — the earlier 5x model under-counted by half and
-    let that case OOM the 128-MiB hardware by 1.9 MB. With blocks
-    capped at _RING_BLOCK_ELEMS the 75.5-MB in-place window budgets
-    ~106 MiB — past the default 100-MiB scoped cap but under the ring
-    ceiling (_RING_VMEM_CEIL) and the 128-MiB hardware."""
+    buffer(s) + masks/tile-padded seams + a 13x-block-bytes working-set
+    allowance. The 13x is the spill/block ratio of the first measured
+    OOM (57.9 MB spill over 4.5-MB blocks, 16384x128 transposed
+    in-place); the follow-up compile at 2.25-MB blocks showed that
+    TRANSPOSED body's spill is really block-size invariant (56.8 MB),
+    so no per-block byte model can gate that pathology — ring_prefs
+    refuses transposed in-place categorically instead. For the layouts
+    this budget does gate, it is hardware-validated: the 75.5-MB
+    row-layout in-place window (2048 rows x 1024 lanes) budgets
+    ~108 MiB — past the default 100-MiB scoped cap but under the ring
+    ceiling (_RING_VMEM_CEIL) — and its Mosaic case compiles and runs
+    green on the chip, bounding the row-layout body's real spill well
+    under the transposed body's ~57 MB."""
     working = max(13 * Q * by * lanes * 4, 8 << 20)
     return n_bufs * Q * rows * lanes * 4 + _ring_aux_bytes(rows, lanes) \
         + working
@@ -185,14 +196,22 @@ def _ring_n_bufs(rows: int, lanes: int, by: int) -> int | None:
     return None
 
 
-def ring_buffer_mode(rows: int, lanes: int) -> str | None:
+def ring_buffer_mode(rows: int, lanes: int,
+                     transposed: bool = False) -> str | None:
     """'double' | 'inplace' | None for a per-shard shape — the
-    diagnostic the harness scripts record in their artifacts."""
+    diagnostic the harness scripts record in their artifacts. Applies
+    the same refusals as ring_prefs (notably the transposed in-place
+    spill gate) so an artifact can never record a mode the planner
+    would refuse to run."""
     by = _ring_block_rows(rows, lanes)
     if rows % by:
         return None
     n = _ring_n_bufs(rows, lanes, by)
-    return None if n is None else ("inplace" if n == 1 else "double")
+    if n is None:
+        return None
+    if n == 1 and transposed and _inplace_override() is None:
+        return None
+    return "inplace" if n == 1 else "double"
 
 
 def ring_planned(params: Params, mesh, iters: int,
@@ -547,25 +566,23 @@ def ring_prefs(local_rows: int, lanes: int,
 
     TRANSPOSED shards never auto-select the IN-PLACE mode: measured on
     the chip, the transposed in-place kernel's register spill OOMs the
-    128-MiB VMEM at the 72-MB production shard (16384x128, exceeded by
-    0.85 MB) and spill-thrashes at half that size (8192x128 compiles
-    but runs ~100x slower than the blocked path) — the blocked
-    seam-halo path is faster there anyway (its depth-8 rate at 128
-    lanes is the 131072x128 headline). Double-buffer transposed rings
-    are fine (proven on-chip at 2048x256). LBM_RESIDENT_INPLACE=1
-    still forces the mode for A/B runs."""
+    128-MiB VMEM at the 72-MB production shard (16384x128 — 0.85 MB
+    past at the capped 2.25-MB blocks, 1.9 MB past at the original
+    4.5-MB blocks: the spill is block-size invariant there) and
+    spill-thrashes at half that size (8192x128 compiles but runs
+    ~100x slower than the blocked path) — the blocked seam-halo path
+    is faster there anyway (its depth-8 rate at 128 lanes is the
+    131072x128 headline). Double-buffer transposed rings are fine
+    (proven on-chip at 2048x256). LBM_RESIDENT_INPLACE=1 still forces
+    the mode for A/B runs. The mode/refusal logic is shared with
+    ring_buffer_mode so artifacts record what the planner runs."""
     if os.environ.get("LBM_SHARD_RESIDENT") != "1":
         return None
     if local_rows < 2:
         return None
+    if ring_buffer_mode(local_rows, lanes, transposed=transposed) is None:
+        return None
     by = _ring_block_rows(local_rows, lanes)
-    if local_rows % by:
-        return None
-    n_bufs = _ring_n_bufs(local_rows, lanes, by)
-    if n_bufs is None:
-        return None
-    if n_bufs == 1 and transposed and _inplace_override() is None:
-        return None
     if (backend or jax.default_backend()) == "tpu" and (
         local_rows % 8 or by % 8
     ):

@@ -69,7 +69,8 @@ def check_case(name, nx, ny, iters, ring=False):
                 f"{name}: planner did not select the ring impl"
             )
             rows, lanes = (nx, ny) if transposed else (ny, nx)
-            buffer_mode = rr.ring_buffer_mode(rows, lanes)
+            buffer_mode = rr.ring_buffer_mode(rows, lanes,
+                                              transposed=transposed)
 
     base = run_simulation(params, obstacles, kernel="reference")
     solo = run_simulation(params, obstacles, kernel="pallas")
@@ -95,7 +96,12 @@ def check_case(name, nx, ny, iters, ring=False):
     # vs the jnp reference: physics agreement (f32 reassociation drift
     # only; the scene acceptance gate is 1%).
     phys_av, phys_cells = av_pct(base, sharded), cells_max(base, sharded)
-    wrap_av_gate, wrap_cells_gate = (5e-3, 1e-5) if ring else (1e-4, 1e-6)
+    # "fallback" runs the SAME blocked kernel on both sides (the ring
+    # was refused), so it takes the blocked path's bit-level gate, not
+    # the ring's reassociation-level one.
+    wrap_av_gate, wrap_cells_gate = (
+        (5e-3, 1e-5) if ring is True else (1e-4, 1e-6)
+    )
     ok = bool(
         wrap_av < wrap_av_gate and wrap_cells < wrap_cells_gate
         and phys_av < 0.1 and phys_cells < 1e-5

@@ -69,9 +69,14 @@ def _ring_block_rows(rows: int, lanes: int) -> int:
     lbm_tpu.parallel.resident_ring._ring_block_rows (this script stays
     importable without jax; tests/test_tools.py pins the two against
     each other): the largest 8-multiple divisor of ``rows`` whose
-    9-speed f32 block fits the 6-MiB slot budget, capped at 64Ki cells
-    (measured Mosaic spill is ~13x the block bytes)."""
-    budget = max(1, 6 * 1024 * 1024 // (9 * lanes * 4))
+    9-speed f32 block fits the slot budget (LBM_PALLAS_SLOT_BYTES,
+    default 6 MiB — read here too so a pinned A/B run models the
+    blocks the kernel actually uses), capped at 64Ki cells and rows/4
+    (the measured-spill ring cap)."""
+    import os
+
+    slot = int(os.environ.get("LBM_PALLAS_SLOT_BYTES", 6 * 1024 * 1024))
+    budget = max(1, slot // (9 * lanes * 4))
     cap = min(budget, max(8, min(64 * 1024 // lanes, rows // 4)))
     aligned = [d for d in range(1, rows + 1) if rows % d == 0 and d % 8 == 0]
     fitting = [d for d in aligned if d <= cap]

@@ -148,16 +148,20 @@ def test_bench_deterministic_tpu_failure_is_reported_not_masked(
     assert line["error"].startswith("tpu_measurement_failed")
 
 
-def test_weak_scaling_model_block_mirror():
+def test_weak_scaling_model_block_mirror(monkeypatch):
     """The analytic model's numpy-free mirror of the ring block rule
     must match the package's real picker on every modeled shard shape
-    (the script deliberately avoids importing the jax solver stack)."""
+    (the script deliberately avoids importing the jax solver stack),
+    including under a pinned LBM_PALLAS_SLOT_BYTES — the documented
+    A/B knob the real picker reads (review finding: a hardcoded 6-MiB
+    budget silently diverged when the knob was set)."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
         "wsm", REPO / "scripts/weak_scaling_model.py")
     wsm = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(wsm)
+    from lbm_tpu.ops import pallas_fused as pf
     from lbm_tpu.parallel.resident_ring import _ring_block_rows
 
     shapes = [(rows, lanes) for _, rows, lanes, _ in wsm.RING_SHARDS]
@@ -165,3 +169,11 @@ def test_weak_scaling_model_block_mirror():
     for rows, lanes in shapes:
         assert wsm._ring_block_rows(rows, lanes) == \
             _ring_block_rows(rows, lanes), (rows, lanes)
+    # Pinned slot budget (the real picker reads it at import; the
+    # mirror at call time — emulate a fresh pinned process for both).
+    slot = 9 * 1024 * 4 * 16  # 16-row blocks at 1024 lanes
+    monkeypatch.setenv("LBM_PALLAS_SLOT_BYTES", str(slot))
+    monkeypatch.setattr(pf, "_SLOT_BYTES", slot)
+    for rows, lanes in shapes:
+        assert wsm._ring_block_rows(rows, lanes) == \
+            _ring_block_rows(rows, lanes), ("pinned", rows, lanes)
