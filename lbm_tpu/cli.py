@@ -52,8 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="save a checkpoint every N steps",
     )
     p.add_argument(
-        "--checkpoint-file", default="lbm_checkpoint.npz",
-        help="checkpoint path (with --checkpoint-every)",
+        "--checkpoint-file", default=None, metavar="PATH",
+        help="checkpoint path (with --checkpoint-every; default "
+             "lbm_checkpoint.npz)",
     )
     p.add_argument(
         "--resume", default=None, metavar="CKPT",
@@ -151,6 +152,20 @@ def _main(argv: list[str] | None = None) -> int:
                 )
                 mesh = make_mesh(fallback) if fallback > 1 else None
 
+    ckpt_file = args.checkpoint_file
+    if args.checkpoint_every is None:
+        if ckpt_file is not None:
+            # The runner errors on the reverse misconfiguration
+            # (every-without-file); this direction silently saves
+            # nothing, which deserves at least a note (review finding).
+            print(
+                "note: --checkpoint-file without --checkpoint-every "
+                "saves nothing; pass --checkpoint-every N",
+                file=sys.stderr,
+            )
+    elif ckpt_file is None:
+        ckpt_file = "lbm_checkpoint.npz"
+
     result = run_simulation(
         params,
         obstacles,
@@ -159,7 +174,7 @@ def _main(argv: list[str] | None = None) -> int:
         mesh=mesh,
         debug=args.debug,
         checkpoint_every=args.checkpoint_every,
-        checkpoint_file=args.checkpoint_file,
+        checkpoint_file=ckpt_file,
         resume_from=args.resume,
         trace_dir=args.trace,
     )

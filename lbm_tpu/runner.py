@@ -27,7 +27,7 @@ from jax import lax
 
 from lbm_tpu.params import Params
 from lbm_tpu.obstacles import num_non_obstacles_r
-from lbm_tpu.state import D2Q9, initial_state
+from lbm_tpu.state import D2Q9, initial_state, initial_state_np
 from lbm_tpu.observables import calc_reynolds, total_density
 from lbm_tpu.ops import reference as ref_ops
 
@@ -262,8 +262,18 @@ def save_checkpoint(path: str | Path, step: int, cells, av_vels) -> None:
 
 def load_checkpoint(path: str | Path):
     """Returns (step, cells, av_vels) from a checkpoint file."""
-    with np.load(path) as z:
-        return int(z["step"]), z["cells"], z["av_vels"]
+    try:
+        with np.load(path) as z:
+            return int(z["step"]), z["cells"], z["av_vels"]
+    except OSError:
+        raise  # missing/unreadable file — already on the CLI die() path
+    except Exception as exc:
+        # zipfile.BadZipFile (truncated/corrupt), KeyError (missing
+        # arrays), EOFError, numpy's misleading pickled-data ValueError
+        # — translate to the CLI's one-line die() contract instead of
+        # an unhandled traceback or a cryptic message (review finding).
+        raise ValueError(f"invalid checkpoint file {path!r}: {exc!r}") \
+            from exc
 
 
 def run_simulation(
@@ -319,6 +329,12 @@ def run_simulation(
             "checkpointing needs somewhere to write)"
         )
     iters = params.max_iters if n_iters is None else n_iters
+    if iters <= 0:
+        # Params validates max_iters > 0; the n_iters override must
+        # hold the same contract or --iters -5 surfaces as a cryptic
+        # 'negative dimensions are not allowed' from jnp.zeros (and 0
+        # silently writes an empty av_vels.dat) — review finding.
+        raise ValueError(f"iteration count must be positive, got {iters}")
     obstacles = np.asarray(obstacles, dtype=bool)
     orig_ny = params.ny
     pad_rows = 0
@@ -363,12 +379,23 @@ def run_simulation(
         if old_pad != pad_rows:
             interior = cells_np[:, old_pad:, :]
             if pad_rows:
-                fresh = np.array(initial_state(params, dtype=params.dtype))
+                # Host-side twin — building a lattice-sized buffer on
+                # the device just to download it costs a ~35 MB/s
+                # tunnel round-trip at production sizes (review
+                # finding) and initialises the backend during prep.
+                fresh = initial_state_np(params, dtype=params.dtype)
                 fresh[:, pad_rows:, :] = interior
                 cells_np = fresh
             else:
                 cells_np = interior
         cells0 = jnp.asarray(cells_np.astype(params.dtype, copy=False))
+        if len(av_prefix) < start_step:
+            # A truncated write (or a hand-edited step field) would
+            # otherwise surface as a raw numpy broadcast error.
+            raise ValueError(
+                f"checkpoint av_vels prefix has {len(av_prefix)} "
+                f"entries but claims step {start_step}"
+            )
         av0[:start_step] = av_prefix[:start_step]
     else:
         cells0 = initial_state(params, dtype=params.dtype)
@@ -376,13 +403,13 @@ def run_simulation(
     if debug:
         if mesh is not None:
             raise ValueError("--debug is not supported with --devices > 1")
-        with trace_ctx():
-            return _run_debug(
-                params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
-                start_step, av0,
-                checkpoint_every=checkpoint_every,
-                checkpoint_file=checkpoint_file,
-            )
+        return _run_debug(
+            params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
+            start_step, av0,
+            checkpoint_every=checkpoint_every,
+            checkpoint_file=checkpoint_file,
+            trace_ctx=trace_ctx,
+        )
 
     if mesh is not None and not (checkpoint_every or start_step):
         from lbm_tpu.parallel import halo
@@ -475,11 +502,14 @@ def run_simulation(
 
 def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
                start_step=0, av0=None,
-               checkpoint_every=None, checkpoint_file=None):
+               checkpoint_every=None, checkpoint_file=None,
+               trace_ctx=None):
     """Python-loop path printing the reference's -DDEBUG block per step
     (d2q9-bgk.c:198-202); resumes mid-trajectory when given a start step
     and av prefix, and honours periodic checkpointing like the jitted
     path."""
+    import contextlib
+
     # AOT-compile during init so the first-call compile (70-120 s on the
     # tunnelled TPU) lands in the init timer like every other path.
     step = jax.jit(_select_step(kernel, params)).lower(
@@ -489,16 +519,20 @@ def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
     av = np.zeros((iters,), dtype=params.dtype) if av0 is None else av0
     timers.stop("init")
     timers.start("compute")
-    for tt in range(start_step, iters):
-        cells, tot_u = step(cells, obs_dev)
-        av[tt] = np.asarray(tot_u) * inv_fluid
-        print("==timestep: %d==" % tt)
-        print("av velocity: %.12E" % av[tt])
-        print("tot density: %.12E" % float(total_density(cells)))
-        done = tt + 1
-        if (checkpoint_every and checkpoint_file is not None
-                and (done % checkpoint_every == 0 or done == iters)):
-            save_checkpoint(checkpoint_file, done, cells, av)
+    # The profiler trace covers the compute phase only, like every
+    # other path — entered after the AOT compile so a --debug --trace
+    # capture isn't dominated by compilation (review finding).
+    with (trace_ctx or contextlib.nullcontext)():
+        for tt in range(start_step, iters):
+            cells, tot_u = step(cells, obs_dev)
+            av[tt] = np.asarray(tot_u) * inv_fluid
+            print("==timestep: %d==" % tt)
+            print("av velocity: %.12E" % av[tt])
+            print("tot density: %.12E" % float(total_density(cells)))
+            done = tt + 1
+            if (checkpoint_every and checkpoint_file is not None
+                    and (done % checkpoint_every == 0 or done == iters)):
+                save_checkpoint(checkpoint_file, done, cells, av)
     timers.stop("compute")
     with timers.phase("collate"):
         cells_np = np.asarray(cells, dtype=params.dtype)

@@ -271,3 +271,70 @@ def test_resume_across_device_counts_reconciles_padding(tmp_path):
                          mesh=make_mesh(3), resume_from=f2)
     np.testing.assert_allclose(base.cells, got.cells, rtol=2e-5, atol=5e-8)
     np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
+
+
+def test_corrupt_checkpoint_is_a_clean_error(tmp_path):
+    """Corrupt/truncated/not-an-npz checkpoint files surface as the
+    CLI's one-line die() error, not an unhandled zipfile/KeyError
+    traceback (review finding)."""
+    p = small_params(max_iters=8)
+    obstacles = generate_obstacles(p.nx, p.ny)
+
+    garbage = tmp_path / "garbage.npz"
+    garbage.write_bytes(b"not a zip archive at all")
+    with pytest.raises(ValueError, match="invalid checkpoint"):
+        run_simulation(p, obstacles, kernel="reference",
+                       resume_from=garbage)
+
+    missing_keys = tmp_path / "missing.npz"
+    np.savez(missing_keys, step=4)  # no cells/av_vels arrays
+    with pytest.raises(ValueError, match="invalid checkpoint"):
+        run_simulation(p, obstacles, kernel="reference",
+                       resume_from=missing_keys)
+
+
+def test_truncated_av_prefix_is_a_clean_error(tmp_path):
+    """A checkpoint whose av_vels array is shorter than its own step
+    field fails with a checkpoint-validation message, not a numpy
+    broadcast error (review finding)."""
+    from lbm_tpu.runner import save_checkpoint
+    from lbm_tpu.state import initial_state_np
+
+    p = small_params(max_iters=20)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    f = tmp_path / "short.npz"
+    save_checkpoint(f, 10, initial_state_np(p),
+                    np.zeros((6,), dtype=np.float32))
+    with pytest.raises(ValueError, match="av_vels prefix"):
+        run_simulation(p, obstacles, kernel="reference", resume_from=f)
+
+
+def test_nonpositive_iters_rejected():
+    """--iters 0/-5 must be a loud validation error, not an empty
+    av_vels.dat or a cryptic negative-dimension crash (review
+    finding); Params already enforces the same for max_iters."""
+    p = small_params()
+    obstacles = generate_obstacles(p.nx, p.ny)
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="must be positive"):
+            run_simulation(p, obstacles, kernel="reference", n_iters=bad)
+
+
+def test_cli_checkpoint_file_without_every_warns(tmp_path, capsys):
+    """--checkpoint-file without --checkpoint-every saves nothing; the
+    CLI says so instead of silently ignoring the flag (review finding —
+    the runner already errors on the reverse misconfiguration)."""
+    from lbm_tpu.cli import main
+
+    ck = tmp_path / "ck.npz"
+    rc = main([
+        "/root/reference/input_128x128.params",
+        "/root/reference/obstacles_128x128.dat",
+        "--kernel", "reference", "--iters", "20",
+        "--checkpoint-file", str(ck),
+        "--av-vels-file", str(tmp_path / "av.dat"),
+        "--final-state-file", str(tmp_path / "fs.dat"),
+    ])
+    assert rc == 0
+    assert "saves nothing" in capsys.readouterr().err
+    assert not ck.exists()
