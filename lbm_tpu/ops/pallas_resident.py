@@ -253,6 +253,19 @@ def _inplace_override() -> bool | None:
     return env not in ("0", "", "false")
 
 
+def inplace_transposed_refused(n_bufs: int, transposed: bool) -> bool:
+    """The measured spill wall (docs/PERF.md "The resident spill
+    wall"): TRANSPOSED layouts never AUTO-select the single-buffer
+    in-place mode — on chip the transposed in-place body register-spill
+    OOMs the 128-MiB VMEM at the 72-MB production shard (16384x128) and
+    spill-thrashes 100-227x at smaller sizes, while the blocked path is
+    faster there anyway. ONE predicate shared by the single-chip
+    planner (resident_prefs) and the sharded ring (ring_buffer_mode /
+    ring_prefs) so the two can't drift; the LBM_RESIDENT_INPLACE
+    override still wins for A/B runs."""
+    return n_bufs == 1 and transposed and _inplace_override() is None
+
+
 def _inplace_mode(state_bytes: int, mask_bytes: int) -> bool:
     """Single-buffer in-place stepping when two resident buffers don't
     fit the scoped-VMEM ceiling (extends residency up to ~75 MB states,
@@ -373,16 +386,12 @@ def resident_prefs(
     n_bufs = 1 if _inplace_mode(state_bytes, rows * lanes) else 2
     if n_bufs * state_bytes + rows * lanes + (24 << 20) > _VMEM_CAP:
         return None
-    # TRANSPOSED states never auto-select the in-place mode: measured
-    # on chip at 16384 rows x 128 lanes (a plain 16384x128 scene), the
-    # in-place transposed kernel register-spills so hard it runs at
-    # 0.02 GLUPS vs the blocked kernel's 4.56 — a 227x loss with
-    # bit-identical trajectories (docs/PERF.md "v8/v9 spill wall");
-    # the sharded ring twin OOMs the 128-MiB VMEM outright at that
-    # shape. Row-layout in-place (the measured 20.62-GLUPS 2048x1024
-    # window) is unaffected; LBM_RESIDENT_INPLACE=1 still forces for
-    # A/B runs.
-    if n_bufs == 1 and transposed and _inplace_override() is None:
+    # Measured on chip at 16384 rows x 128 lanes (a plain 16384x128
+    # scene), the in-place transposed kernel register-spills so hard it
+    # runs at 0.02 GLUPS vs the blocked kernel's 4.56 — a 227x loss
+    # with bit-identical trajectories; row-layout in-place (the
+    # measured 20.62-GLUPS 2048x1024 window) is unaffected.
+    if inplace_transposed_refused(n_bufs, transposed):
         return None
     by = _pick_block_rows(rows, lanes)
     if rows % 8 or by % 8 or rows % by:

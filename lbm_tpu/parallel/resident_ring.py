@@ -97,6 +97,7 @@ from lbm_tpu.ops.pallas_resident import (
     _G_PREF,
     _inplace_override,
     _pinned_steps,
+    inplace_transposed_refused,
 )
 from lbm_tpu.parallel.decomp import AXIS, RowDecomposition
 
@@ -131,13 +132,19 @@ _RING_BLOCK_ELEMS = 64 * 1024
 
 def _ring_block_rows(rows: int, lanes: int) -> int:
     """Ring-kernel row-block size: ``_pick_block_rows`` capped to
-    ``_RING_BLOCK_ELEMS`` cells (see above — spill scales with block
-    bytes, and the resident buffer leaves far less slack than the
-    blocked kernel's streaming slots) AND to rows/4, so a small shard
-    still splits into >= 4 blocks — with fewer, both boundary blocks
-    ARE the shard and the per-step seam RDMA has no interior window to
-    hide under (the overlap the whole block order exists for)."""
+    ``_RING_BLOCK_ELEMS`` cells (see above — the cap cuts the explicit
+    block working set, and the resident buffer leaves far less slack
+    than the blocked kernel's streaming slots) AND to rows/4, so shards
+    of >= 32 rows split into >= 4 blocks (2 interior) and the per-step
+    seam RDMA has an interior window to hide under (the overlap the
+    whole block order exists for); sub-32-row shards floor at by=8 and
+    may be all-boundary — see the cap note below."""
     by = _pick_block_rows(rows, lanes)
+    # The rows/4 term keeps >= 4 blocks (2 interior) on shards of
+    # >= 32 rows; the max(8, ...) floor wins below that, so tiny
+    # shards may be all-boundary with the seam latency fully exposed
+    # — functionally correct, and the weak-scaling model's
+    # boundary_rows accounting (max(0, rows - 2*by)) prices it in.
     cap = max(8, min(_RING_BLOCK_ELEMS // lanes, rows // 4))
     if by <= cap:
         return by
@@ -196,20 +203,24 @@ def _ring_n_bufs(rows: int, lanes: int, by: int) -> int | None:
     return None
 
 
-def ring_buffer_mode(rows: int, lanes: int,
-                     transposed: bool = False) -> str | None:
+def ring_buffer_mode(rows: int, lanes: int, *,
+                     transposed: bool) -> str | None:
     """'double' | 'inplace' | None for a per-shard shape — the
     diagnostic the harness scripts record in their artifacts. Applies
     the same refusals as ring_prefs (notably the transposed in-place
-    spill gate) so an artifact can never record a mode the planner
-    would refuse to run."""
+    spill gate, via the shared inplace_transposed_refused predicate)
+    so an artifact can never record a mode the planner would refuse to
+    run. ``transposed`` is keyword-REQUIRED: the shard shape alone
+    cannot disambiguate (16384x128 row-layout legitimately runs
+    in-place; the same shape transposed is the measured OOM), so a
+    forgotten default here would silently skip the gate."""
     by = _ring_block_rows(rows, lanes)
     if rows % by:
         return None
     n = _ring_n_bufs(rows, lanes, by)
     if n is None:
         return None
-    if n == 1 and transposed and _inplace_override() is None:
+    if inplace_transposed_refused(n, transposed):
         return None
     return "inplace" if n == 1 else "double"
 

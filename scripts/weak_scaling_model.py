@@ -65,24 +65,37 @@ RING_SHARDS = [
     ("2048x1024 per chip (ring in-place)", 2048, 1024, 20.62),
 ]
 def _ring_block_rows(rows: int, lanes: int) -> int:
-    """The ring kernel's row-block size — a numpy-free mirror of
-    lbm_tpu.parallel.resident_ring._ring_block_rows (this script stays
-    importable without jax; tests/test_tools.py pins the two against
-    each other): the largest 8-multiple divisor of ``rows`` whose
-    9-speed f32 block fits the slot budget (LBM_PALLAS_SLOT_BYTES,
-    default 6 MiB — read here too so a pinned A/B run models the
-    blocks the kernel actually uses), capped at 64Ki cells and rows/4
-    (the measured-spill ring cap)."""
+    """The ring kernel's row-block size — a numpy-free, stage-faithful
+    mirror of lbm_tpu.parallel.resident_ring._ring_block_rows over
+    ops.pallas_fused._pick_block_rows (this script stays importable
+    without jax; tests/test_tools.py pins the two against each other,
+    including non-8-aligned rows and a pinned LBM_PALLAS_SLOT_BYTES —
+    read here too so an A/B run models the blocks the kernel actually
+    uses)."""
     import os
 
     slot = int(os.environ.get("LBM_PALLAS_SLOT_BYTES", 6 * 1024 * 1024))
+    # Stage 1: _pick_block_rows — largest 8-aligned divisor within the
+    # slot budget, else the smallest 8-aligned divisor, else the
+    # largest unaligned divisor within budget, else 1.
     budget = max(1, slot // (9 * lanes * 4))
-    cap = min(budget, max(8, min(64 * 1024 // lanes, rows // 4)))
-    aligned = [d for d in range(1, rows + 1) if rows % d == 0 and d % 8 == 0]
-    fitting = [d for d in aligned if d <= cap]
+    divisors = [d for d in range(1, rows + 1) if rows % d == 0]
+    aligned = [d for d in divisors if d % 8 == 0]
+    fitting = [d for d in aligned if d <= budget]
     if fitting:
-        return fitting[-1]
-    return aligned[0] if aligned else rows
+        by = fitting[-1]
+    elif aligned:
+        by = aligned[0]
+    else:
+        unaligned = [d for d in divisors if d <= budget]
+        by = unaligned[-1] if unaligned else 1
+    # Stage 2: the ring's measured-spill cap (64Ki cells, rows/4,
+    # floor 8) — only 8-aligned divisors may replace an over-cap by.
+    cap = max(8, min(64 * 1024 // lanes, rows // 4))
+    if by <= cap:
+        return by
+    capped = [d for d in aligned if 8 <= d <= cap]
+    return capped[-1] if capped else by
 
 
 def _ring_boundary_rows(rows: int, lanes: int) -> int:

@@ -58,11 +58,16 @@ def test_ring_gating(monkeypatch):
     assert rr._ring_block_rows(16384, 128) == 512
     assert rr._ring_block_rows(8, 64) == 8  # cap never starves a shard
     assert rr.ring_prefs(1280, 1024) == rr._G_PREF
-    assert rr.ring_buffer_mode(1280, 1024) == "inplace"
-    assert rr.ring_buffer_mode(2048, 1024) == "inplace"
-    assert rr.ring_buffer_mode(16384, 128) == "inplace"
-    assert rr.ring_buffer_mode(512, 1024) == "double"
-    assert rr.ring_buffer_mode(4096, 1024) is None
+    assert rr.ring_buffer_mode(1280, 1024, transposed=False) == "inplace"
+    assert rr.ring_buffer_mode(2048, 1024, transposed=False) == "inplace"
+    assert rr.ring_buffer_mode(16384, 128, transposed=False) == "inplace"
+    assert rr.ring_buffer_mode(512, 1024, transposed=False) == "double"
+    assert rr.ring_buffer_mode(4096, 1024, transposed=False) is None
+    # The diagnostic applies the same spill gate as the planner (the
+    # shape alone cannot disambiguate: 16384x128 row-layout runs
+    # in-place, the same shape transposed is the measured OOM).
+    assert rr.ring_buffer_mode(16384, 128, transposed=True) is None
+    assert rr.ring_buffer_mode(2048, 256, transposed=True) == "double"
     # Transposed shards never AUTO-select the in-place mode: measured
     # on chip, its register spill OOMs the 128-MiB VMEM at the 72-MB
     # production shard (16384x128) and spill-thrashes ~100x at half

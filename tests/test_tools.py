@@ -166,6 +166,10 @@ def test_weak_scaling_model_block_mirror(monkeypatch):
 
     shapes = [(rows, lanes) for _, rows, lanes, _ in wsm.RING_SHARDS]
     shapes += [(1024 // n, 1024) for n in (2, 4, 8, 16, 32, 64)]
+    # Non-8-aligned rows exercise _pick_block_rows' fallback branches
+    # (review finding: the mirror's earlier simplification returned
+    # rows=340 -> 340 where the real picker returns 170).
+    shapes += [(340, 1024), (12, 64), (50, 128), (7, 128)]
     for rows, lanes in shapes:
         assert wsm._ring_block_rows(rows, lanes) == \
             _ring_block_rows(rows, lanes), (rows, lanes)
