@@ -93,23 +93,30 @@ def bench(nx: int = 1024, ny: int = 1024, iters: int = 10000,
     return nx * ny * iters / best / 1e9, best
 
 
-def _tpu_alive(timeout_s: float = 60.0) -> bool:
-    """Probe the accelerator with a tiny computation in a subprocess (a
-    dead tunnel can hang the caller, so don't probe in-process)."""
+def _tpu_probe(timeout_s: float = 60.0) -> str:
+    """Probe the accelerator in a subprocess (a dead tunnel can hang
+    the caller, so never probe in-process). Returns 'tpu' (alive),
+    'no-tpu' (jax works but on another backend — retrying cannot
+    conjure a TPU; review finding: the old boolean probe reported a
+    CPU-only environment as 'TPU alive' and then timed out the
+    hardware-sized measurement repeatedly), or 'down'."""
     import subprocess
 
     code = (
         "import jax, jax.numpy as jnp;"
-        "print(float((jnp.ones((8,128))+1).sum()))"
+        "print(float((jnp.ones((8,128))+1).sum()));"
+        "print('BACKEND=' + jax.default_backend())"
     )
     try:
         res = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True,
+            [sys.executable, "-c", code], capture_output=True, text=True,
             timeout=timeout_s,
         )
-        return res.returncode == 0
     except subprocess.TimeoutExpired:
-        return False
+        return "down"
+    if res.returncode != 0:
+        return "down"
+    return "tpu" if "BACKEND=tpu" in res.stdout else "no-tpu"
 
 
 def _error_kind(err: str) -> str:
@@ -137,16 +144,38 @@ def main() -> int:
     # TPU is alive is a real failure (diverged trajectory, compile
     # error), reported as such rather than mislabeled as unavailability
     # (review finding).
+    # The attempt counter bounds ATTEMPTS; the deadline bounds
+    # WALL-CLOCK (review finding: a half-alive tunnel — tiny probe
+    # succeeds, big program hangs — used to retry the 1800 s headline
+    # measurement all 25 times, ~13 h, because timeout errors are
+    # exempt from the deterministic-failure breaks). The budget covers
+    # the documented hour-plus outage window with margin.
+    import os
+
     attempts = 25
+    deadline = time.monotonic() + float(
+        os.environ.get("LBM_BENCH_BUDGET_S", "4200")
+    )
     headline = None
     last_error = None
     same_error = 0
     hard_errors = 0
+    no_tpu = False
     for attempt in range(attempts):
-        if _tpu_alive():
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            break
+        probe = _tpu_probe()
+        if probe == "no-tpu":
+            # jax works but no TPU backend exists here — retrying
+            # cannot help; fall straight to the honest CPU fallback.
+            no_tpu = True
+            break
+        if probe == "tpu":
             line = _stress_line(
                 "GLUPS_1024x1024", 1024, 1024, 10000, kernel,
-                BASELINE_GLUPS, repeats=3, timeout_s=1800.0,
+                BASELINE_GLUPS, repeats=3,
+                timeout_s=min(1800.0, max(remaining, 120.0)),
             )
             if "value" in line:
                 headline = line
@@ -166,10 +195,10 @@ def main() -> int:
                   file=sys.stderr, flush=True)
             if "timeout" not in kind and (same_error >= 2 or hard_errors >= 4):
                 break  # deterministic failure; retrying cannot help
-        if attempt < attempts - 1:
+        if attempt < attempts - 1 and deadline - time.monotonic() > 0:
             time.sleep(90)
     if headline is None:
-        if last_error and "timeout" not in last_error:
+        if last_error and "timeout" not in last_error and not no_tpu:
             # The TPU was ALIVE and the measurement failed anyway
             # (compile error, diverged trajectory): that is a real
             # regression, not unavailability — report it as a failure
@@ -185,10 +214,12 @@ def main() -> int:
 
         jax.config.update("jax_platforms", "cpu")
         glups, dt = bench(kernel="reference", iters=200, repeats=1)
-        note = (
-            f"tpu_timeout_cpu_fallback: {last_error[:200]}"
-            if last_error else "tpu_unavailable_cpu_fallback"
-        )
+        if no_tpu:
+            note = "no_tpu_backend_cpu_fallback"
+        elif last_error:
+            note = f"tpu_timeout_cpu_fallback: {last_error[:200]}"
+        else:
+            note = "tpu_unavailable_cpu_fallback"
         print(json.dumps({
             "metric": "GLUPS_1024x1024",
             "value": round(glups, 4),

@@ -57,7 +57,7 @@ GRID_SCENES = {
 INTERPRET_ONLY = {"512x64", "64x64", "128x32"}
 
 
-def run_config(grid, kernel, n_devices, iters, repeats):
+def run_config(grid, kernel, n_devices, iters, repeats, platform=None):
     import os
 
     import jax
@@ -85,15 +85,16 @@ def run_config(grid, kernel, n_devices, iters, repeats):
         os.environ.pop("LBM_RESIDENT_INPLACE", None)
 
     nx, ny, default_iters, accel = GRID_SCENES[grid]
-    if grid in INTERPRET_ONLY:
-        import jax
-
-        if jax.default_backend() == "tpu":
-            raise RuntimeError(
-                f"{grid} is an interpret-only functional grid; run it "
-                "with --platform cpu (tiny sharded Mosaic compiles have "
-                "crashed the shared TPU session — CLAUDE.md)"
-            )
+    if grid in INTERPRET_ONLY and platform != "cpu":
+        # Decided from the --platform flag, NOT jax.default_backend():
+        # probing the backend INITIALISES it, and on a down tunnel this
+        # protective guard would hang before it could refuse
+        # (CLAUDE.md's default_backend hazard — review finding).
+        raise RuntimeError(
+            f"{grid} is an interpret-only functional grid; run it "
+            "with --platform cpu (tiny sharded Mosaic compiles have "
+            "crashed the shared TPU session — CLAUDE.md)"
+        )
     iters = iters or min(default_iters, 2000)
     params = Params(nx=nx, ny=ny, max_iters=iters, reynolds_dim=10,
                     density=np.float32(0.1), accel=np.float32(accel),
@@ -208,11 +209,25 @@ def main(argv=None):
             rows = list(merged.values())
         out.write_text(json.dumps(rows, indent=2) + "\n")
 
+    def intended_backend():
+        # For ERROR rows (which never reach jax.default_backend()):
+        # without a backend field their merge key could never collide
+        # with the prior success row's, so a regressed config kept both
+        # the stale success AND the new error (review finding).
+        import os
+
+        if args.platform:
+            return args.platform
+        env = os.environ.get("JAX_PLATFORMS", "")
+        return "tpu" if env in ("axon", "tpu") else (env or "unknown")
+
     for grid, kernel, nd in itertools.product(args.grids, args.kernels, args.devices):
         try:
-            r = run_config(grid, kernel, nd, args.iters, args.repeats)
+            r = run_config(grid, kernel, nd, args.iters, args.repeats,
+                           platform=args.platform)
         except Exception as exc:  # record failures, keep sweeping
             r = {"grid": grid, "kernel": kernel, "devices": nd,
+                 "backend": intended_backend(),
                  "error": f"{type(exc).__name__}: {exc}"}
         print(json.dumps(r), flush=True)
         results.append(r)

@@ -134,6 +134,18 @@ def main(argv=None):
     import jax
 
     results = {"backend": jax.default_backend(), "devices": len(jax.devices())}
+    if results["backend"] != "tpu":
+        # This script's entire purpose is proving the sharded programs
+        # under REAL Mosaic; on any other backend the cases run in
+        # interpret mode and would overwrite the committed hardware
+        # proof with ok:true that proved nothing (review finding).
+        results.update(ok=False, error=(
+            f"refusing to run on backend {results['backend']!r}: the "
+            "artifact is a hardware proof (interpret-mode coverage "
+            "lives in tests/)"
+        ))
+        print(json.dumps(results, indent=2))
+        return 1
     cases = [
         # Row-sharded plan: Mosaic-compiles the dynamic accel-mask kernel.
         ("pallas/rows", 1024, 1024, False),

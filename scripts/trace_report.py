@@ -67,34 +67,74 @@ def summarise(tracedir: str, top: int = 25) -> dict:
     events = trace.get("traceEvents", [])
 
     procs = {}
+    threads = {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             procs[e.get("pid")] = e.get("args", {}).get("name", "")
+        elif e.get("ph") == "M" and e.get("name") == "thread_name":
+            threads[(e.get("pid"), e.get("tid"))] = (
+                e.get("args", {}).get("name", "")
+            )
 
-    agg = defaultdict(lambda: [0.0, 0])
+    # Self-time accounting: spans on one (pid, tid) track NEST (the
+    # module span covers the while loop covers the kernel call), so
+    # summing raw durations triple-counts the same wall time and
+    # understates every op's device share ~3x (review finding,
+    # confirmed against the committed artifact). A gprof FLAT profile
+    # reports SELF time: each span's duration minus its immediate
+    # children's.
+    tracks = defaultdict(list)
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
-        proc = procs.get(e.get("pid"), str(e.get("pid")))
-        key = (proc, e.get("name", "?"))
-        agg[key][0] += e["dur"]
-        agg[key][1] += 1
+        # The device's "XLA Modules" lane is an AGGREGATE over the
+        # "XLA Ops" lane (the whole executable as one span) — counting
+        # both double-counts every wall second on a second track that
+        # per-track self-time cannot see (review finding).
+        if "Module" in threads.get((e.get("pid"), e.get("tid")), ""):
+            continue
+        tracks[(e.get("pid"), e.get("tid"))].append(e)
+
+    agg = defaultdict(lambda: [0.0, 0.0, 0])  # self_us, total_us, count
+    for (pid, _tid), evs in tracks.items():
+        proc = procs.get(pid, str(pid))
+        # Parents first at equal start times (longer duration = outer).
+        evs.sort(key=lambda e: (e["ts"], -e["dur"]))
+        stack = []  # [event, child_us]
+        for e in evs:
+            while stack and stack[-1][0]["ts"] + stack[-1][0]["dur"] \
+                    <= e["ts"]:
+                done, child = stack.pop()
+                key = (proc, done.get("name", "?"))
+                agg[key][0] += max(0.0, done["dur"] - child)
+                agg[key][1] += done["dur"]
+                agg[key][2] += 1
+            if stack:
+                stack[-1][1] += e["dur"]
+            stack.append([e, 0.0])
+        while stack:
+            done, child = stack.pop()
+            key = (proc, done.get("name", "?"))
+            agg[key][0] += max(0.0, done["dur"] - child)
+            agg[key][1] += done["dur"]
+            agg[key][2] += 1
 
     rows = sorted(
-        ({"process": p, "op": n, "total_us": round(d, 1), "count": c,
+        ({"process": p, "op": n, "self_us": round(s, 1),
+          "total_us": round(d, 1), "count": c,
           "avg_us": round(d / max(c, 1), 2)}
-         for (p, n), (d, c) in agg.items()),
-        key=lambda r: -r["total_us"],
+         for (p, n), (s, d, c) in agg.items()),
+        key=lambda r: -r["self_us"],
     )
     # The gprof-flat-profile analogue is the DEVICE rows; host rows are
     # wrappers (fences, dispatch) and only useful as context.
     is_dev = lambda r: "TPU" in r["process"] or "/device" in r["process"].lower()
     dev = [r for r in rows if is_dev(r)]
     host = [r for r in rows if not is_dev(r)]
-    device_total = sum(r["total_us"] for r in dev)
+    device_total = sum(r["self_us"] for r in dev)
     for r in dev:
         r["pct_device"] = (
-            round(100 * r["total_us"] / device_total, 2)
+            round(100 * r["self_us"] / device_total, 2)
             if device_total else None
         )
     return {"trace_file": path, "device_total_us": round(device_total, 1),
@@ -118,11 +158,12 @@ def main() -> int:
     Path(args.output).parent.mkdir(parents=True, exist_ok=True)
     with open(args.output, "w") as f:
         json.dump(report, f, indent=2)
-    print(f"{'process':<28} {'op':<44} {'total_us':>10} {'count':>7} {'pct':>6}")
+    print(f"{'process':<28} {'op':<40} {'self_us':>10} "
+          f"{'total_us':>10} {'count':>7} {'pct':>6}")
     for r in report["ops"]:
-        print(f"{r['process'][:27]:<28} {r['op'][:43]:<44} "
-              f"{r['total_us']:>10.1f} {r['count']:>7} "
-              f"{(r.get('pct_device') or 0):>6.2f}")
+        print(f"{r['process'][:27]:<28} {r['op'][:39]:<40} "
+              f"{r['self_us']:>10.1f} {r['total_us']:>10.1f} "
+              f"{r['count']:>7} {(r.get('pct_device') or 0):>6.2f}")
     return 0
 
 

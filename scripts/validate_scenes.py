@@ -149,8 +149,6 @@ def main(argv=None):
     )
     args = p.parse_args(argv)
 
-    import jax
-
     results = {
         # No parent backend probe (a down tunnel would hang before the
         # first guarded scene subprocess, CLAUDE.md); scenes record

@@ -133,7 +133,7 @@ def test_bench_deterministic_tpu_failure_is_reported_not_masked(
     sys.path.insert(0, str(REPO))
     import bench
 
-    monkeypatch.setattr(bench, "_tpu_alive", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "_tpu_probe", lambda *a, **k: "tpu")
     monkeypatch.setattr(
         bench, "_stress_line",
         lambda *a, **k: {"metric": "GLUPS_1024x1024",
@@ -146,6 +146,66 @@ def test_bench_deterministic_tpu_failure_is_reported_not_masked(
     assert line["metric"] == "GLUPS_1024x1024"
     assert "value" not in line
     assert line["error"].startswith("tpu_measurement_failed")
+
+
+def test_bench_half_alive_tunnel_is_wall_clock_bounded(
+    monkeypatch, capsys
+):
+    """A half-alive tunnel (probe succeeds, the big program times out
+    every attempt) must be bounded by the wall-clock budget, not by
+    25 x 1800 s of attempts (review finding: timeout errors are exempt
+    from the deterministic-failure breaks, so only the deadline stops
+    the loop)."""
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    monkeypatch.setattr(bench, "_tpu_probe", lambda *a, **k: "tpu")
+    calls = []
+    clock = {"t": 0.0}
+    monkeypatch.setattr(bench.time, "monotonic", lambda: clock["t"])
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    def fake_stress(*a, **k):
+        calls.append(k.get("timeout_s"))
+        clock["t"] += k["timeout_s"]  # the measurement hangs to timeout
+        return {"metric": "GLUPS_1024x1024", "error": "timeout after 1800s"}
+
+    monkeypatch.setattr(bench, "_stress_line", fake_stress)
+    # CPU fallback runs a tiny real measurement; stub it for test speed.
+    monkeypatch.setattr(bench, "bench", lambda **k: (0.01, 1.0))
+    rc = bench.main()
+    assert rc == 0
+    # Default budget 4200 s: 1800 + 1800 + a 600 s remainder-capped
+    # attempt, then the deadline stops the loop — not 25 x 1800 s.
+    assert calls == [1800.0, 1800.0, 600.0], calls
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["note"].startswith("tpu_timeout_cpu_fallback")
+
+
+def test_bench_no_tpu_backend_goes_straight_to_cpu_fallback(
+    monkeypatch, capsys
+):
+    """An environment whose jax works but has no TPU backend must skip
+    the retry loop entirely (retrying cannot conjure a TPU) and label
+    the fallback honestly (review finding: the old boolean probe
+    reported any working backend as 'TPU alive' and then timed out the
+    hardware-sized measurement repeatedly)."""
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    monkeypatch.setattr(bench, "_tpu_probe", lambda *a, **k: "no-tpu")
+    monkeypatch.setattr(
+        bench, "_stress_line",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("must not measure without a TPU")),
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "bench", lambda **k: (0.01, 1.0))
+    rc = bench.main()
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["note"] == "no_tpu_backend_cpu_fallback"
+    assert "value" in line
 
 
 def test_weak_scaling_model_block_mirror(monkeypatch):
