@@ -251,10 +251,14 @@ def measure_subprocess(nx, ny, iters, kernel: str = "auto",
 
     code = (
         "import json, sys; sys.path.insert(0, sys.argv[1]);"
-        "from bench import bench;"
+        "from bench import bench; import jax;"
         f"g, t = bench(nx={nx}, ny={ny}, iters={iters},"
         f" kernel={kernel!r}, repeats={repeats});"
-        "print('RESULT ' + json.dumps({'glups': g, 'best_s': t}))"
+        # Provenance: which backend actually measured — so harness
+        # artifacts can never pass off a CPU run as a hardware row
+        # (review finding).
+        "print('RESULT ' + json.dumps({'glups': g, 'best_s': t,"
+        " 'backend': jax.default_backend()}))"
     )
     here = os.path.dirname(os.path.abspath(__file__))
     full_env = dict(os.environ)

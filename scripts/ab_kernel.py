@@ -33,7 +33,11 @@ DEFAULTS = [
 
 def parse(arg: str):
     parts = arg.split(":")
-    if len(parts) < 4:
+    if len(parts) < 4 or len(parts) > 5:
+        # Rejecting extras matters: ':'-separated env knobs would
+        # silently drop all but the first and record the measurement
+        # under the requested name (review finding) — knobs are
+        # comma-separated.
         raise SystemExit(
             f"config {arg!r}: expected name:nx:ny:iters[:ENV=V,ENV=V]"
         )
@@ -52,6 +56,7 @@ def run_one(name, nx, ny, iters, env, repeats=3, timeout_s=1500.0):
     if "glups" in m:
         return {"name": name, "nx": nx, "ny": ny, "iters": iters,
                 "env": env, "glups": round(m["glups"], 3),
+                "backend": m.get("backend"),
                 "wall_s": round(time.time() - t0, 1)}
     return {"name": name, "error": m["error"]}
 

@@ -26,24 +26,32 @@ def main(argv=None):
                    help="output path (default obstacles_WxH.dat)")
     args = p.parse_args(argv)
     out = args.output or f"obstacles_{args.width}x{args.height}.dat"
-    mask = generate_obstacles(args.width, args.height, args.interior_walls)
+    w, h = args.width, args.height
     # Emit in the reference's order: bottom row, top row, right column,
-    # left column (then interior walls) so files diff cleanly against it.
+    # left column (then interior walls) so files diff cleanly against it
+    # (duplicate corners included, like the reference).
+    coords = [(i, 0) for i in range(w)]
+    coords += [(i, h - 1) for i in range(w)]
+    coords += [(w - 1, j) for j in range(h)]
+    coords += [(0, j) for j in range(h)]
+    if args.interior_walls:
+        coords += [(w // 4, j) for j in range(h)]
+        coords += [((w // 4) * 2, j) for j in range(h)]
     with open(out, "w") as f:
-        for i in range(args.width):
-            f.write(f"{i} 0 1\n")
-        for i in range(args.width):
-            f.write(f"{i} {args.height - 1} 1\n")
-        for i in range(args.height):
-            f.write(f"{args.width - 1} {i} 1\n")
-        for i in range(args.height):
-            f.write(f"0 {i} 1\n")
-        if args.interior_walls:
-            for i in range(args.height):
-                f.write(f"{args.width // 4} {i} 1\n")
-            for i in range(args.height):
-                f.write(f"{(args.width // 4) * 2} {i} 1\n")
-    print(f"wrote {out} ({int(mask.sum())} unique blocked cells)")
+        for x, y in coords:
+            f.write(f"{x} {y} 1\n")
+    # The count comes from the WRITTEN coordinates; the library mask is
+    # a consistency gate, so a drift between the two implementations is
+    # a loud error rather than a silently-wrong file (review finding).
+    mask = generate_obstacles(w, h, args.interior_walls)
+    written = set(coords)
+    from_mask = {(int(x), int(y)) for y, x in zip(*mask.nonzero())}
+    if written != from_mask:
+        raise SystemExit(
+            f"emitted coordinates disagree with lbm_tpu.obstacles."
+            f"generate_obstacles ({len(written ^ from_mask)} cells differ)"
+        )
+    print(f"wrote {out} ({len(written)} unique blocked cells)")
     return 0
 
 

@@ -34,7 +34,10 @@ def main(argv=None):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, ax = plt.subplots(figsize=(8, 8 * ny / nx))
+    # Clamp the figure height: imshow's aspect='equal' already enforces
+    # the cell aspect inside the axes, and 8*ny/nx degenerates to a
+    # sliver for the wide scenes (131072x128 -> 0.008 in).
+    fig, ax = plt.subplots(figsize=(8, min(max(8 * ny / nx, 2.0), 16.0)))
     im = ax.imshow(img, origin="lower", aspect="equal", interpolation="nearest")
     ax.set_title("Fluid Velocity")
     ax.set_xlabel("cell # along x-dimension")

@@ -31,8 +31,19 @@ def _row_depth(r) -> int:
     backend override (this script may itself run on CPU, where the
     automatic gate would otherwise stay off; forcing LBM_RESIDENT=1
     instead would bypass the floor and mislabel the small grids)."""
-    if r.get("kernel") != "pallas":
+    if r.get("kernel") not in ("pallas", "auto"):
         return 1
+    import os
+
+    # Depth is recomputed from the DEFAULT kernel policy: leftover A/B
+    # exports (exactly what ab_kernel.py sets) would silently re-label
+    # every point's arithmetic intensity with a depth the sweep never
+    # ran (review finding) — the sweep rows record no env, so a stale
+    # export is undetectable from the plot.
+    for knob in ("LBM_RESIDENT", "LBM_RESIDENT_STEPS",
+                 "LBM_RESIDENT_INPLACE", "LBM_PALLAS_DEPTH",
+                 "LBM_PALLAS_SLOT_BYTES", "LBM_SHARD_RESIDENT"):
+        os.environ.pop(knob, None)
     from lbm_tpu.ops.pallas_fused import make_carry_step
     from lbm_tpu.params import Params
 
@@ -62,10 +73,14 @@ def main(argv=None):
     # devices>1 sweep rows AND any backend!=tpu row are functional
     # (interpret-mode) runs, not hardware measurements — plotting them
     # against the v5e roofs would present meaningless points.
+    # 'auto' rows are hardware measurements too (sweep.py records the
+    # REQUESTED kernel name, and its default is auto — review finding:
+    # the 'pallas'-only filter dropped a default sweep's TPU rows).
     results = [
         r for r in rows
         if "error" not in r and r.get("devices", 1) == 1
-        and r.get("kernel") == "pallas" and r.get("backend") == "tpu"
+        and r.get("kernel") in ("pallas", "auto")
+        and r.get("backend") == "tpu"
     ]
     skipped = len(rows) - len(results)
     if not results:

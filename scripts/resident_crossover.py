@@ -46,6 +46,21 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=2000)
     args = p.parse_args(argv)
 
+    import bench
+
+    probe = bench._tpu_probe()
+    if probe != "tpu":
+        # Off-TPU, kernel='auto' resolves to the reference kernel and
+        # LBM_RESIDENT is a no-op — both modes would measure the SAME
+        # program and write a legitimate-looking ~0% artifact (review
+        # finding). This artifact is a hardware measurement; refuse.
+        print(json.dumps({
+            "error": f"refusing: backend probe = {probe!r} — the "
+                     "crossover is a TPU measurement (off-TPU both "
+                     "modes run the identical reference kernel)"
+        }), file=sys.stderr)
+        return 1
+
     results = {
         "method": "bench.bench() marginals via ab_kernel.run_one (one "
                   "timeout-guarded subprocess per cell, untimed first "
@@ -56,21 +71,27 @@ def main(argv=None):
                       "(pallas_resident.resident_prefs)",
         "cases": [],
     }
+    out = Path(args.output)
+    out.parent.mkdir(parents=True, exist_ok=True)
     for nx, ny in GRIDS:
         row = {"grid": f"{nx}x{ny}",
                "state_mb": round(9 * nx * ny * 4 / 1e6, 2)}
         for mode, env in MODES.items():
             r = run_one(f"{nx}x{ny}-{mode}", nx, ny, args.iters, env)
             row[mode] = r["glups"] if "glups" in r else r
+            if r.get("backend"):
+                row["backend"] = r["backend"]
         if all(isinstance(row[m], float) for m in MODES):
             row["resident_vs_blocked_pct"] = round(
                 100.0 * (row["resident"] / row["blocked"] - 1.0), 1
             )
         results["cases"].append(row)
         print(json.dumps(row), flush=True)
-    out = Path(args.output)
-    out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text(json.dumps(results, indent=2) + "\n")
+        # Flushed after EVERY row, like sweep.py: cells run up to
+        # 1500 s each on a flaky tunnel, and losing 11 completed rows
+        # to a Ctrl-C on the 12th is sweep.py's documented hazard
+        # (review finding).
+        out.write_text(json.dumps(results, indent=2) + "\n")
     return 0
 
 
