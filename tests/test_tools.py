@@ -241,3 +241,54 @@ def test_weak_scaling_model_block_mirror(monkeypatch):
     for rows, lanes in shapes:
         assert wsm._ring_block_rows(rows, lanes) == \
             _ring_block_rows(rows, lanes), ("pinned", rows, lanes)
+
+
+def test_trace_report_self_time_accounting(tmp_path):
+    """summarise() reports gprof-style SELF time: nested spans subtract
+    their immediate children per track, and the aggregate 'XLA Modules'
+    lane is excluded (review finding: raw summing triple-counted the
+    same wall time, understating every op's device share ~3x)."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "trace_report", REPO / "scripts/trace_report.py")
+    tr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tr)
+
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 3, "tid": 2, "name": "thread_name",
+         "args": {"name": "XLA Modules"}},
+        {"ph": "M", "pid": 3, "tid": 3, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        # Module lane: one aggregate span over everything (excluded).
+        {"ph": "X", "pid": 3, "tid": 2, "name": "jit_sim",
+         "ts": 0, "dur": 100.0},
+        # Ops lane: a while loop containing two kernel calls, plus one
+        # sibling op after it.
+        {"ph": "X", "pid": 3, "tid": 3, "name": "while", "ts": 0,
+         "dur": 90.0},
+        {"ph": "X", "pid": 3, "tid": 3, "name": "kernel", "ts": 5,
+         "dur": 40.0},
+        {"ph": "X", "pid": 3, "tid": 3, "name": "kernel", "ts": 50,
+         "dur": 35.0},
+        {"ph": "X", "pid": 3, "tid": 3, "name": "glue", "ts": 92,
+         "dur": 8.0},
+    ]
+    d = tmp_path / "plugins" / "profile" / "run"
+    d.mkdir(parents=True)
+    (d / "t.trace.json").write_text(_json.dumps({"traceEvents": events}))
+
+    rep = tr.summarise(str(tmp_path))
+    by_op = {r["op"]: r for r in rep["ops"]}
+    assert "jit_sim" not in by_op  # aggregate lane excluded
+    assert by_op["kernel"]["self_us"] == 75.0
+    assert by_op["kernel"]["count"] == 2
+    assert by_op["while"]["self_us"] == 15.0  # 90 - 40 - 35
+    assert by_op["while"]["total_us"] == 90.0
+    assert by_op["glue"]["self_us"] == 8.0
+    # Device total equals the union of busy time, not a multi-lane sum.
+    assert rep["device_total_us"] == 98.0
+    assert by_op["kernel"]["pct_device"] == round(100 * 75 / 98, 2)
