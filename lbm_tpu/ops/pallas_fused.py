@@ -437,6 +437,15 @@ def _pallas_step(interior, prevs, nexts, obs_i8, *, omega_f, interpret,
     Deliberately NOT wrapped in jax.jit: a nested jit becomes a
     closed_call in the surrounding loop with its own buffer boundary.
     Callers are jitted."""
+    # Same guard as _pallas_step_fused: a sharded (seam) pass with a
+    # STATIC row AccelSpec would compute the forced-row owner block
+    # from the GLOBAL index against the LOCAL lattice — silently
+    # forcing the wrong row on every shard. All current sharded
+    # callers pass the dynamic mask; this keeps a future one honest.
+    assert not (seams is not None and accel_mask is None
+                and accel is not None and accel.axis == 0), (
+        "sharded row forcing requires the dynamic accel mask"
+    )
     q, h, nx = interior.shape
     by = _pick_block_rows(h, nx)
     n_blocks = h // by

@@ -223,7 +223,8 @@ class _TransposedPallasShardImpl(_PallasShardImpl):
         return transpose_state(carry[0])
 
 
-def _resolve_kernel(kernel: str, params: Params) -> str:
+def _resolve_kernel(kernel: str, params: Params,
+                    backend: str | None = None) -> str:
     """Resolve ``auto`` with the SAME rule everywhere (TPU backend and
     float32 — the pallas kernels are f32-only), so plan_sharding,
     plan_row_padding and resolve_shard_kernel can never disagree about
@@ -234,14 +235,15 @@ def _resolve_kernel(kernel: str, params: Params) -> str:
     if kernel == "auto":
         return (
             "pallas"
-            if jax.default_backend() == "tpu"
+            if (backend or jax.default_backend()) == "tpu"
             and params.dtype == np.float32
             else "reference"
         )
     return kernel
 
 
-def _wide_transposed_plan(params: Params, n: int) -> bool:
+def _wide_transposed_plan(params: Params, n: int,
+                          backend: str | None = None) -> bool:
     """The wide-grid x-sharding gate, shared by plan_sharding and
     plan_row_padding — the two must agree or padding would fight the
     plan (review finding: previously hand-duplicated). nx is the
@@ -250,15 +252,24 @@ def _wide_transposed_plan(params: Params, n: int) -> bool:
     grid whose transposed shards misalign must take the row plan —
     which plan_row_padding can always align — rather than demote to
     the reference kernel in resolve_shard_kernel)."""
+    from lbm_tpu.ops.pallas_fused import _transposed_layout
+
+    # The wide-grid criterion itself lives in pallas_fused
+    # (_transposed_layout, the ONE policy home — review finding: this
+    # function re-hardcoded nx >= 2*ny, so a threshold tune there would
+    # have left the sharded planner picking a layout the single-chip
+    # impl no longer uses); the mesh-divisibility and per-shard
+    # alignment terms are sharding-specific and stay here.
     return (
-        params.nx >= 2 * params.ny
+        _transposed_layout(params.ny, params.nx)
         and params.nx % n == 0
-        and params.nx % 8 == 0
-        and (jax.default_backend() != "tpu" or (params.nx // n) % 8 == 0)
+        and ((backend or jax.default_backend()) != "tpu"
+             or (params.nx // n) % 8 == 0)
     )
 
 
-def resolve_shard_kernel(params: Params, mesh: Mesh, kernel: str) -> str:
+def resolve_shard_kernel(params: Params, mesh: Mesh, kernel: str,
+                         backend: str | None = None) -> str:
     """Resolve ``auto`` and validate the sharded pallas configuration the
     same way runner._resolve_kernel does for the single-device path:
     float32-only, and on real TPU the PER-SHARD Mosaic geometry must
@@ -267,16 +278,17 @@ def resolve_shard_kernel(params: Params, mesh: Mesh, kernel: str) -> str:
     error instead of a Mosaic compile crash (which can take the TPU
     session down for an hour — CLAUDE.md)."""
     was_auto = kernel == "auto"
-    kernel = _resolve_kernel(kernel, params)
+    kernel = _resolve_kernel(kernel, params, backend=backend)
     if kernel == "pallas" and params.dtype != np.float32:
         raise ValueError(
             "the pallas kernel is float32-only; use kernel='reference' "
             "with float64"
         )
-    if kernel == "pallas" and jax.default_backend() == "tpu":
+    if kernel == "pallas" and (backend or jax.default_backend()) == "tpu":
         from lbm_tpu.ops.pallas_fused import _pick_block_rows
 
-        transposed, decomp, _, _ = plan_sharding(params, mesh, "pallas")
+        transposed, decomp, _, _ = plan_sharding(params, mesh, "pallas",
+                                                 backend=backend)
         _, local_h, width = _pallas_shard_geometry(params, decomp, transposed)
         by = _pick_block_rows(local_h, width)
         if local_h % 8 or by % 8:
@@ -291,7 +303,7 @@ def resolve_shard_kernel(params: Params, mesh: Mesh, kernel: str) -> str:
 
 
 def plan_row_padding(params: Params, obstacles, mesh: Mesh,
-                     kernel: str) -> int:
+                     kernel: str, backend: str | None = None) -> int:
     """Rows of all-obstacle padding that make the row plan divide the
     mesh evenly — the equal-shard answer to the reference's uneven
     ``allocate_rows`` (first ny%size ranks take one extra row,
@@ -313,10 +325,15 @@ def plan_row_padding(params: Params, obstacles, mesh: Mesh,
     transposed-x plan) already fit."""
     n = mesh.shape[AXIS]
     ny = params.ny
-    k = _resolve_kernel(kernel, params)
-    on_tpu = jax.default_backend() == "tpu"
+    # ``backend`` override per the CLAUDE.md rule: these are pure-Python
+    # planners, and probing jax.default_backend() INITIALISES the
+    # backend — analysis tooling asking "how would this count pad?"
+    # must not hang on a down tunnel (review finding; ring_prefs /
+    # resident_prefs grew the same escape hatch).
+    k = _resolve_kernel(kernel, params, backend=backend)
+    on_tpu = (backend or jax.default_backend()) == "tpu"
     # The wide-grid transposed plan shards x; no row padding involved.
-    if k == "pallas" and _wide_transposed_plan(params, n):
+    if k == "pallas" and _wide_transposed_plan(params, n, backend=backend):
         return 0
     # Real-TPU Mosaic needs 8-aligned per-shard rows (resolve_shard_kernel);
     # padding to that unit keeps the pallas kernel instead of demoting.
@@ -355,7 +372,8 @@ def pad_scene(params: Params, obstacles, pad: int):
     return dataclasses.replace(params, ny=params.ny + pad), obs
 
 
-def plan_sharding(params: Params, mesh: Mesh, kernel: str):
+def plan_sharding(params: Params, mesh: Mesh, kernel: str,
+                  backend: str | None = None):
     """Decide the decomposition axis and shard_map specs.
 
     Standard: rows (physical y) — the reference's decomposition. Wide
@@ -363,8 +381,10 @@ def plan_sharding(params: Params, mesh: Mesh, kernel: str):
     so each shard's long dimension stays on sublanes.
     Returns (transposed, decomp, cells_spec, obstacles_spec)."""
     n = mesh.shape[AXIS]
-    kernel = _resolve_kernel(kernel, params)
-    transposed = kernel == "pallas" and _wide_transposed_plan(params, n)
+    kernel = _resolve_kernel(kernel, params, backend=backend)
+    transposed = kernel == "pallas" and _wide_transposed_plan(
+        params, n, backend=backend
+    )
     if transposed:
         return (
             True,
