@@ -285,12 +285,18 @@ def _stress_line(metric, nx, ny, iters, kernel, base,
     """One metric line for the driver from a subprocess measurement."""
     m = measure_subprocess(nx, ny, iters, kernel, repeats, timeout_s)
     if "glups" in m:
-        return {
+        line = {
             "metric": metric,
             "value": round(m["glups"], 4),
             "unit": "GLUPS",
             "vs_baseline": round(m["glups"] / base, 4),
         }
+        # Provenance rides into the emitted line too — without it the
+        # headline/stress lines themselves could pass off a CPU run as
+        # a hardware row (review finding).
+        if "backend" in m:
+            line["backend"] = m["backend"]
+        return line
     return {"metric": metric, "error": m["error"]}
 
 

@@ -559,8 +559,8 @@ def _pallas_ring(cells, obs_i8, accel_mask, *, omega_f, accel, gsteps,
 
 
 def ring_prefs(local_rows: int, lanes: int,
-               backend: str | None = None,
-               transposed: bool = False) -> tuple[int, ...] | None:
+               backend: str | None = None, *,
+               transposed: bool) -> tuple[int, ...] | None:
     """Step-granularity preference list when the per-shard lattice
     qualifies for ring residency, else None.
 
@@ -573,7 +573,11 @@ def ring_prefs(local_rows: int, lanes: int,
     ceiling, the block plan tiles the shard evenly, and on real TPU the same 8-aligned-rows
     rule as the blocked sharded path (resolve_shard_kernel).
     ``backend`` overrides the backend probe so analysis paths never
-    initialise a backend (CLAUDE.md).
+    initialise a backend (CLAUDE.md). ``transposed`` is
+    keyword-REQUIRED here and in :func:`ring_gsteps` for the same
+    reason as :func:`ring_buffer_mode`: a caller that forgot a
+    defaulted ``transposed=False`` would silently skip the measured
+    in-place spill gate below (review finding).
 
     TRANSPOSED shards never auto-select the IN-PLACE mode: measured on
     the chip, the transposed in-place kernel's register spill OOMs the
@@ -604,8 +608,8 @@ def ring_prefs(local_rows: int, lanes: int,
 
 
 def ring_gsteps(local_rows: int, lanes: int, n_iters: int | None,
-                backend: str | None = None,
-                transposed: bool = False) -> int | None:
+                backend: str | None = None, *,
+                transposed: bool) -> int | None:
     """The preferred step count per call for an ``n_iters``-step
     segment, or None when ring residency doesn't apply."""
     prefs = ring_prefs(local_rows, lanes, backend=backend,

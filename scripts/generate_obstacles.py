@@ -37,12 +37,12 @@ def main(argv=None):
     if args.interior_walls:
         coords += [(w // 4, j) for j in range(h)]
         coords += [((w // 4) * 2, j) for j in range(h)]
-    with open(out, "w") as f:
-        for x, y in coords:
-            f.write(f"{x} {y} 1\n")
-    # The count comes from the WRITTEN coordinates; the library mask is
+    # The count comes from the EMITTED coordinates; the library mask is
     # a consistency gate, so a drift between the two implementations is
     # a loud error rather than a silently-wrong file (review finding).
+    # Gated BEFORE the write: failing after would leave the drifted
+    # file on disk for a timestamp-driven consumer despite the nonzero
+    # exit (review finding).
     mask = generate_obstacles(w, h, args.interior_walls)
     written = set(coords)
     from_mask = {(int(x), int(y)) for y, x in zip(*mask.nonzero())}
@@ -51,6 +51,9 @@ def main(argv=None):
             f"emitted coordinates disagree with lbm_tpu.obstacles."
             f"generate_obstacles ({len(written ^ from_mask)} cells differ)"
         )
+    with open(out, "w") as f:
+        for x, y in coords:
+            f.write(f"{x} {y} 1\n")
     print(f"wrote {out} ({len(written)} unique blocked cells)")
     return 0
 

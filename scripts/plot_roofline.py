@@ -39,25 +39,31 @@ def _row_depth(r) -> int:
     # exports (exactly what ab_kernel.py sets) would silently re-label
     # every point's arithmetic intensity with a depth the sweep never
     # ran (review finding) — the sweep rows record no env, so a stale
-    # export is undetectable from the plot.
-    for knob in ("LBM_RESIDENT", "LBM_RESIDENT_STEPS",
-                 "LBM_RESIDENT_INPLACE", "LBM_PALLAS_DEPTH",
-                 "LBM_PALLAS_SLOT_BYTES", "LBM_SHARD_RESIDENT"):
-        os.environ.pop(knob, None)
-    from lbm_tpu.ops.pallas_fused import make_carry_step
-    from lbm_tpu.params import Params
+    # export is undetectable from the plot. The knobs are restored
+    # afterwards: plotting must not eat the caller's exports (a wrapper
+    # that plots and then drives an A/B run would silently lose them).
+    knobs = ("LBM_RESIDENT", "LBM_RESIDENT_STEPS",
+             "LBM_RESIDENT_INPLACE", "LBM_PALLAS_DEPTH",
+             "LBM_PALLAS_SLOT_BYTES", "LBM_SHARD_RESIDENT")
+    saved = {k: os.environ.pop(k) for k in knobs if k in os.environ}
+    try:
+        from lbm_tpu.ops.pallas_fused import make_carry_step
+        from lbm_tpu.params import Params
 
-    nx, ny = (int(v) for v in r["grid"].split("x"))
-    params = Params(nx=nx, ny=ny, max_iters=r["iters"], reynolds_dim=10,
-                    density=0.1, accel=0.01, omega=1.85)
-    # The row's recorded backend drives the resident gate — passing it
-    # keeps this script from ever initialising a jax backend (the
-    # tunnelled TPU backend can hang for an hour when the session is
-    # down; plotting must not depend on the chip being up).
-    return make_carry_step(
-        params, n_iters=r["iters"],
-        backend=r.get("backend") or "cpu",
-    ).fused
+        nx, ny = (int(v) for v in r["grid"].split("x"))
+        params = Params(nx=nx, ny=ny, max_iters=r["iters"],
+                        reynolds_dim=10, density=0.1, accel=0.01,
+                        omega=1.85)
+        # The row's recorded backend drives the resident gate — passing
+        # it keeps this script from ever initialising a jax backend (the
+        # tunnelled TPU backend can hang for an hour when the session is
+        # down; plotting must not depend on the chip being up).
+        return make_carry_step(
+            params, n_iters=r["iters"],
+            backend=r.get("backend") or "cpu",
+        ).fused
+    finally:
+        os.environ.update(saved)
 
 
 def main(argv=None):

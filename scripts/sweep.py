@@ -85,11 +85,25 @@ def run_config(grid, kernel, n_devices, iters, repeats, platform=None):
         os.environ.pop("LBM_RESIDENT_INPLACE", None)
 
     nx, ny, default_iters, accel = GRID_SCENES[grid]
-    if grid in INTERPRET_ONLY and platform != "cpu":
-        # Decided from the --platform flag, NOT jax.default_backend():
-        # probing the backend INITIALISES it, and on a down tunnel this
-        # protective guard would hang before it could refuse
-        # (CLAUDE.md's default_backend hazard — review finding).
+    # An environment pinned to CPU (JAX_PLATFORMS=cpu, the documented
+    # override) is as safe as --platform cpu — refusing it was a false
+    # positive (review finding). Decided from the flag and the env var,
+    # NOT jax.default_backend(): probing the backend INITIALISES it,
+    # and on a down tunnel this protective guard would hang before it
+    # could refuse (CLAUDE.md's default_backend hazard).
+    env_cpu = os.environ.get(
+        "JAX_PLATFORMS", ""
+    ).split(",")[0].strip().lower() == "cpu"
+    if env_cpu and platform is None:
+        # The axon sitecustomize re-registers the tunnel plugin even
+        # when JAX_PLATFORMS=cpu is exported (CLAUDE.md: the env var
+        # alone loses to it) — measured here: an env-cpu sweep row
+        # recorded backend "tpu". Honour the export with the config
+        # override too; without this the guard below would trust an
+        # env var the runtime ignores and compile an interpret-only
+        # grid on the chip.
+        jax.config.update("jax_platforms", "cpu")
+    if grid in INTERPRET_ONLY and platform != "cpu" and not env_cpu:
         raise RuntimeError(
             f"{grid} is an interpret-only functional grid; run it "
             "with --platform cpu (tiny sharded Mosaic compiles have "
@@ -213,13 +227,26 @@ def main(argv=None):
         # For ERROR rows (which never reach jax.default_backend()):
         # without a backend field their merge key could never collide
         # with the prior success row's, so a regressed config kept both
-        # the stale success AND the new error (review finding).
+        # the stale success AND the new error (review finding). Must
+        # return what a SUCCESS row records in the same environment
+        # (jax.default_backend()) without initialising a backend: a
+        # success row from this very run is the ground truth when one
+        # exists; otherwise normalise the explicit platform — the first
+        # JAX_PLATFORMS entry, with the axon tunnel plugin registering
+        # as 'tpu' (review finding: the old exact-match missed
+        # 'axon,cpu' and a bare-CPU machine, leaving stale success rows
+        # undeduplicated next to their error rows).
         import os
 
+        for r in results:
+            if "error" not in r and "backend" in r:
+                return r["backend"]
         if args.platform:
             return args.platform
-        env = os.environ.get("JAX_PLATFORMS", "")
-        return "tpu" if env in ("axon", "tpu") else (env or "unknown")
+        first = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip()
+        if first == "axon":
+            return "tpu"
+        return first.lower() or "unknown"
 
     for grid, kernel, nd in itertools.product(args.grids, args.kernels, args.devices):
         try:

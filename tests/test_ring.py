@@ -34,18 +34,18 @@ def test_ring_gating(monkeypatch):
     proven production default); LBM_SHARD_RESIDENT=1 opts in; VMEM and
     geometry limits mirror the single-chip resident rules."""
     monkeypatch.delenv("LBM_SHARD_RESIDENT", raising=False)
-    assert rr.ring_prefs(128, 1024) is None
+    assert rr.ring_prefs(128, 1024, transposed=False) is None
     monkeypatch.setenv("LBM_SHARD_RESIDENT", "0")
-    assert rr.ring_prefs(128, 1024) is None
+    assert rr.ring_prefs(128, 1024, transposed=False) is None
     monkeypatch.setenv("LBM_SHARD_RESIDENT", "1")
-    assert rr.ring_prefs(128, 1024) == rr._G_PREF
-    assert rr.ring_gsteps(128, 1024, 20000) == 100
-    assert rr.ring_gsteps(128, 1024, 23) is None
+    assert rr.ring_prefs(128, 1024, transposed=False) == rr._G_PREF
+    assert rr.ring_gsteps(128, 1024, 20000, transposed=False) == 100
+    assert rr.ring_gsteps(128, 1024, 23, transposed=False) is None
     # The ~75-MB single-buffer window (2048x1024 = 16384x1024 over 8
     # devices) qualifies via the in-place mode; one buffer that doesn't
     # fit the scoped-VMEM ceiling disqualifies.
-    assert rr.ring_prefs(2048, 1024) == rr._G_PREF
-    assert rr.ring_prefs(4096, 1024) is None
+    assert rr.ring_prefs(2048, 1024, transposed=False) == rr._G_PREF
+    assert rr.ring_prefs(4096, 1024, transposed=False) is None
     # One sizing rule for mode + gate (_ring_n_bufs): shapes where the
     # buffers + calibrated working set push TWO buffers past the ring
     # ceiling fall back to in-place instead of being rejected
@@ -57,7 +57,7 @@ def test_ring_gating(monkeypatch):
     assert rr._ring_block_rows(2048, 1024) == 64
     assert rr._ring_block_rows(16384, 128) == 512
     assert rr._ring_block_rows(8, 64) == 8  # cap never starves a shard
-    assert rr.ring_prefs(1280, 1024) == rr._G_PREF
+    assert rr.ring_prefs(1280, 1024, transposed=False) == rr._G_PREF
     assert rr.ring_buffer_mode(1280, 1024, transposed=False) == "inplace"
     assert rr.ring_buffer_mode(2048, 1024, transposed=False) == "inplace"
     assert rr.ring_buffer_mode(16384, 128, transposed=False) == "inplace"
@@ -82,24 +82,24 @@ def test_ring_gating(monkeypatch):
     # LBM_RESIDENT_INPLACE=0 pins double-buffer mode -> 2048x1024 no
     # longer fits.
     monkeypatch.setenv("LBM_RESIDENT_INPLACE", "0")
-    assert rr.ring_prefs(2048, 1024) is None
+    assert rr.ring_prefs(2048, 1024, transposed=False) is None
     monkeypatch.delenv("LBM_RESIDENT_INPLACE")
     # Degenerate single-row shards can't form a block plan.
-    assert rr.ring_prefs(1, 128) is None
+    assert rr.ring_prefs(1, 128, transposed=False) is None
     # On real TPU the blocked path's 8-aligned-rows rule applies.
-    assert rr.ring_prefs(12, 128, backend="tpu") is None
-    assert rr.ring_prefs(16, 128, backend="tpu") == rr._G_PREF
+    assert rr.ring_prefs(12, 128, backend="tpu", transposed=False) is None
+    assert rr.ring_prefs(16, 128, backend="tpu", transposed=False) == rr._G_PREF
     # LBM_RESIDENT_STEPS pins one (even) granularity; invalid pins fail
     # loudly instead of silently measuring the blocked kernel (review
     # finding).
     monkeypatch.setenv("LBM_RESIDENT_STEPS", "4")
-    assert rr.ring_prefs(128, 1024) == (4,)
+    assert rr.ring_prefs(128, 1024, transposed=False) == (4,)
     monkeypatch.setenv("LBM_RESIDENT_STEPS", "5")
     with pytest.raises(ValueError, match="even"):
-        rr.ring_prefs(128, 1024)
+        rr.ring_prefs(128, 1024, transposed=False)
     monkeypatch.setenv("LBM_RESIDENT_STEPS", "1OO")
     with pytest.raises(ValueError, match="not an integer"):
-        rr.ring_prefs(128, 1024)
+        rr.ring_prefs(128, 1024, transposed=False)
 
 
 @pytest.mark.parametrize("n_dev", [2, 8])
