@@ -179,6 +179,21 @@ def _main(argv: list[str] | None = None) -> int:
         trace_dir=args.trace,
     )
 
+    if result.preempted:
+        # Graceful preemption (SIGTERM/SIGINT with periodic
+        # checkpointing on): state through completed_steps is flushed
+        # to the checkpoint — do NOT write final outputs (a partial
+        # final_state.dat would masquerade as a finished run) and exit
+        # with EX_TEMPFAIL so an orchestrator knows to re-launch with
+        # --resume.
+        print(
+            f"preempted at step {result.completed_steps}/"
+            f"{args.iters or params.max_iters}: checkpoint saved to "
+            f"{ckpt_file}; resume with --resume {ckpt_file}",
+            file=sys.stderr,
+        )
+        return 75  # EX_TEMPFAIL
+
     t = result.timings
     print("==done==")
     print("Reynolds number:\t\t%.12E" % result.reynolds)

@@ -38,6 +38,61 @@ class SimulationResult:
     av_vels: np.ndarray  # (maxIters,) params.dtype
     reynolds: float
     timings: dict  # init / compute / collate / total seconds
+    # Graceful preemption (chunked checkpointing paths only): the number
+    # of steps actually completed, and whether the run stopped early on
+    # SIGTERM/SIGINT with its state flushed to the checkpoint file.
+    # av_vels entries past completed_steps are zeros, not trajectory.
+    completed_steps: int = -1  # -1 = the full iteration count
+    preempted: bool = False
+
+
+class _PreemptionGuard:
+    """Graceful-preemption watch for the chunked loops: while active,
+    SIGTERM/SIGINT set a flag instead of killing the process, so the
+    loop can flush a checkpoint at the next chunk boundary and stop
+    early with a resumable state — TPU pods are routinely preempted,
+    and the reference simply lost the whole run (SURVEY §5: no
+    checkpoint/recovery). A SECOND signal restores default handling
+    (the first escalation path if the current chunk hangs). Armed only
+    when periodic checkpointing gives the loop a boundary to stop at;
+    inert outside the main thread, where ``signal.signal`` raises."""
+
+    _SIGNALS = ("SIGTERM", "SIGINT")
+
+    def __init__(self, enabled: bool):
+        self.enabled = enabled
+        self.requested = False
+        self._saved = {}
+
+    def _handle(self, signum, frame):
+        self.requested = True
+        self._restore()  # second signal: default (deadly) behaviour
+
+    def _restore(self):
+        import signal as _signal
+
+        for num, prev in self._saved.items():
+            _signal.signal(num, prev)
+        self._saved = {}
+
+    def __enter__(self):
+        if not self.enabled:
+            return self
+        import signal as _signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return self
+        for name in self._SIGNALS:
+            num = getattr(_signal, name, None)
+            if num is None:
+                continue
+            self._saved[num] = _signal.signal(num, self._handle)
+        return self
+
+    def __exit__(self, *exc):
+        self._restore()
+        return False
 
 
 class _SimpleImpl:
@@ -411,6 +466,7 @@ def run_simulation(
             trace_ctx=trace_ctx,
         )
 
+    completed, preempted = iters, False
     if mesh is not None and not (checkpoint_every or start_step):
         from lbm_tpu.parallel import halo
 
@@ -458,7 +514,10 @@ def run_simulation(
         jax.block_until_ready((cells0, obs_dev))
         timers.stop("init")
         timers.start("compute")
-        with trace_ctx():
+        guard = _PreemptionGuard(
+            enabled=bool(checkpoint_every and checkpoint_file is not None)
+        )
+        with trace_ctx(), guard:
             tt = start_step
             while tt < iters:
                 n = min(stride, iters - tt)
@@ -469,8 +528,14 @@ def run_simulation(
                 if checkpoint_every and checkpoint_file is not None:
                     # save_checkpoint's np.asarray is itself the fence.
                     save_checkpoint(checkpoint_file, tt, cells, av_vels)
+                if guard.requested:
+                    # Preempted: the chunk just completed and its state
+                    # is flushed — stop here; the caller resumes from
+                    # the checkpoint (latency bound: one chunk).
+                    break
             _fence(av_vels)
         timers.stop("compute")
+        completed, preempted = tt, guard.requested and tt < iters
     else:
         simulate = make_simulate(params, kernel=kernel, n_iters=iters)
         compiled = simulate.lower(cells0, obs_dev, inv_fluid).compile()
@@ -497,6 +562,8 @@ def run_simulation(
         av_vels=av_np,
         reynolds=reynolds,
         timings=dict(timers.elapsed),
+        completed_steps=completed,
+        preempted=preempted,
     )
 
 
@@ -522,7 +589,11 @@ def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
     # The profiler trace covers the compute phase only, like every
     # other path — entered after the AOT compile so a --debug --trace
     # capture isn't dominated by compilation (review finding).
-    with (trace_ctx or contextlib.nullcontext)():
+    done = start_step
+    guard = _PreemptionGuard(
+        enabled=bool(checkpoint_every and checkpoint_file is not None)
+    )
+    with (trace_ctx or contextlib.nullcontext)(), guard:
         for tt in range(start_step, iters):
             cells, tot_u = step(cells, obs_dev)
             av[tt] = np.asarray(tot_u) * inv_fluid
@@ -531,8 +602,13 @@ def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
             print("tot density: %.12E" % float(total_density(cells)))
             done = tt + 1
             if (checkpoint_every and checkpoint_file is not None
-                    and (done % checkpoint_every == 0 or done == iters)):
+                    and (done % checkpoint_every == 0 or done == iters
+                         or guard.requested)):
                 save_checkpoint(checkpoint_file, done, cells, av)
+            if guard.requested:
+                # The per-step python loop can flush immediately — no
+                # chunk boundary to wait for.
+                break
     timers.stop("compute")
     with timers.phase("collate"):
         cells_np = np.asarray(cells, dtype=params.dtype)
@@ -543,4 +619,6 @@ def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
         av_vels=av,
         reynolds=reynolds,
         timings=dict(timers.elapsed),
+        completed_steps=done,
+        preempted=guard.requested and done < iters,
     )

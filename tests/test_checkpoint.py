@@ -320,6 +320,116 @@ def test_nonpositive_iters_rejected():
             run_simulation(p, obstacles, kernel="reference", n_iters=bad)
 
 
+def test_graceful_preemption_chunked(tmp_path, monkeypatch):
+    """SIGTERM during a chunked checkpointed run stops at the next chunk
+    boundary with the state flushed (graceful preemption — TPU pods are
+    routinely preempted; the reference lost the whole run), and the
+    checkpoint resumes to the uninterrupted trajectory."""
+    import os
+    import signal
+
+    from lbm_tpu import runner as runner_mod
+
+    p = small_params(max_iters=40)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    full = run_simulation(p, obstacles, kernel="reference")
+
+    f = tmp_path / "ck.npz"
+    real_save = runner_mod.save_checkpoint
+    saves = []
+
+    def save_and_preempt(path, step, cells, av):
+        real_save(path, step, cells, av)
+        saves.append(step)
+        if len(saves) == 2:  # mid-run: 2 of 5 chunks done
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    monkeypatch.setattr(runner_mod, "save_checkpoint", save_and_preempt)
+    res = run_simulation(p, obstacles, kernel="reference",
+                         checkpoint_every=8, checkpoint_file=f)
+    monkeypatch.setattr(runner_mod, "save_checkpoint", real_save)
+
+    assert res.preempted
+    assert res.completed_steps == 16
+    # The guard restored the default handler on the way out.
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+    step, _, av_prefix = load_checkpoint(f)
+    assert step == 16
+    np.testing.assert_allclose(full.av_vels[:16], av_prefix[:16], rtol=1e-6)
+
+    resumed = run_simulation(p, obstacles, kernel="reference",
+                             resume_from=f)
+    assert not resumed.preempted
+    assert resumed.completed_steps == 40
+    np.testing.assert_array_equal(full.cells, resumed.cells)
+    np.testing.assert_allclose(full.av_vels, resumed.av_vels, rtol=1e-6)
+
+
+def test_graceful_preemption_debug_path(tmp_path, monkeypatch):
+    """The per-step debug loop flushes a checkpoint immediately on the
+    signal (no chunk boundary to wait for) and stops."""
+    import os
+    import signal
+
+    from lbm_tpu import runner as runner_mod
+
+    p = small_params(max_iters=12)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    f = tmp_path / "ck.npz"
+    real_save = runner_mod.save_checkpoint
+
+    def save_and_preempt(path, step, cells, av):
+        real_save(path, step, cells, av)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    monkeypatch.setattr(runner_mod, "save_checkpoint", save_and_preempt)
+    res = run_simulation(p, obstacles, kernel="reference", debug=True,
+                         checkpoint_every=3, checkpoint_file=f)
+    monkeypatch.setattr(runner_mod, "save_checkpoint", real_save)
+
+    # The boundary save at step 3 delivered the signal; the loop broke
+    # right after it (the flush-on-request save is for signals landing
+    # BETWEEN boundaries, exercised by the break path here).
+    assert res.preempted and res.completed_steps == 3
+    assert load_checkpoint(f)[0] == 3
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
+def test_cli_preemption_exit_code(tmp_path, monkeypatch, capsys):
+    """A preempted CLI run exits 75 (EX_TEMPFAIL), points at the resume
+    command on stderr, and does NOT write partial output files (a
+    partial final_state.dat would masquerade as a finished run)."""
+    import os
+    import signal
+
+    from lbm_tpu import runner as runner_mod
+    from lbm_tpu.cli import main
+
+    real_save = runner_mod.save_checkpoint
+
+    def save_and_preempt(path, step, cells, av):
+        real_save(path, step, cells, av)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    monkeypatch.setattr(runner_mod, "save_checkpoint", save_and_preempt)
+    ck = tmp_path / "ck.npz"
+    av_f, fs_f = tmp_path / "av.dat", tmp_path / "fs.dat"
+    rc = main([
+        "/root/reference/input_128x128.params",
+        "/root/reference/obstacles_128x128.dat",
+        "--kernel", "reference", "--iters", "40",
+        "--checkpoint-every", "8", "--checkpoint-file", str(ck),
+        "--av-vels-file", str(av_f), "--final-state-file", str(fs_f),
+    ])
+    monkeypatch.setattr(runner_mod, "save_checkpoint", real_save)
+    assert rc == 75
+    captured = capsys.readouterr()
+    assert "preempted at step 8/40" in captured.err
+    assert f"--resume {ck}" in captured.err
+    assert "==done==" not in captured.out
+    assert ck.exists() and not av_f.exists() and not fs_f.exists()
+
+
 def test_cli_checkpoint_file_without_every_warns(tmp_path, capsys):
     """--checkpoint-file without --checkpoint-every saves nothing; the
     CLI says so instead of silently ignoring the flag (review finding —
