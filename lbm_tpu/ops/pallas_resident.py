@@ -354,8 +354,8 @@ def _pinned_steps(even: bool) -> int | None:
 
 
 def resident_prefs(
-    rows: int, lanes: int, backend: str | None = None,
-    transposed: bool = False,
+    rows: int, lanes: int, backend: str | None = None, *,
+    transposed: bool,
 ) -> tuple[int, ...] | None:
     """Step-granularity preference list when the (possibly transposed)
     ``rows`` x ``lanes`` lattice qualifies for residency, else None.
@@ -365,6 +365,10 @@ def resident_prefs(
     working-set slack fit
     the scoped-VMEM ceiling, and the row geometry keeps every DMA and
     block slice (8, 128)-tile aligned (CLAUDE.md Mosaic constraints).
+    ``transposed`` is keyword-REQUIRED here and in
+    :func:`resident_gsteps` (like the ring planner's entry points): a
+    caller that forgot a defaulted ``transposed=False`` would silently
+    skip the measured in-place spill gate below.
     LBM_RESIDENT gates: "0" disables, "1" forces (including interpret
     mode, for tests), unset = automatic on real TPU only — interpret
     runs keep the blocked kernel so the CPU suite's fused coverage is
@@ -401,8 +405,8 @@ def resident_prefs(
 
 
 def resident_gsteps(rows: int, lanes: int, n_iters: int | None,
-                    backend: str | None = None,
-                    transposed: bool = False) -> int | None:
+                    backend: str | None = None, *,
+                    transposed: bool) -> int | None:
     """The preferred step count per call for an ``n_iters``-step run,
     or None when residency doesn't apply (ineligible geometry/size, no
     preference divides ``n_iters``, or no length given — the

@@ -365,6 +365,43 @@ def test_graceful_preemption_chunked(tmp_path, monkeypatch):
     np.testing.assert_allclose(full.av_vels, resumed.av_vels, rtol=1e-6)
 
 
+def test_graceful_preemption_sharded(tmp_path, monkeypatch):
+    """Preemption composes with the sharded chunked runner: the break
+    lands between shard_map chunk calls, the flushed checkpoint holds
+    the gathered global lattice, and resume reproduces the full
+    trajectory."""
+    import os
+    import signal
+
+    from lbm_tpu import runner as runner_mod
+    from lbm_tpu.parallel.decomp import make_mesh
+
+    p = small_params(ny=32, max_iters=24)
+    obstacles = generate_obstacles(p.nx, p.ny)
+    full = run_simulation(p, obstacles, kernel="reference",
+                          mesh=make_mesh(4))
+
+    f = tmp_path / "ck.npz"
+    real_save = runner_mod.save_checkpoint
+
+    def save_and_preempt(path, step, cells, av):
+        real_save(path, step, cells, av)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    monkeypatch.setattr(runner_mod, "save_checkpoint", save_and_preempt)
+    res = run_simulation(p, obstacles, kernel="reference",
+                         mesh=make_mesh(4),
+                         checkpoint_every=8, checkpoint_file=f)
+    monkeypatch.setattr(runner_mod, "save_checkpoint", real_save)
+    assert res.preempted and res.completed_steps == 8
+    assert load_checkpoint(f)[0] == 8
+
+    resumed = run_simulation(p, obstacles, kernel="reference",
+                             mesh=make_mesh(4), resume_from=f)
+    np.testing.assert_array_equal(full.cells, resumed.cells)
+    np.testing.assert_allclose(full.av_vels, resumed.av_vels, rtol=1e-6)
+
+
 def test_graceful_preemption_debug_path(tmp_path, monkeypatch):
     """The per-step debug loop flushes a checkpoint immediately on the
     signal (no chunk boundary to wait for) and stops."""

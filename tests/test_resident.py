@@ -213,10 +213,10 @@ def test_resident_ineligible_geometry(monkeypatch):
     from lbm_tpu.ops.pallas_resident import resident_prefs
 
     monkeypatch.setenv("LBM_RESIDENT", "1")
-    assert resident_prefs(16384, 1024) is None  # 604 MB/buffer
-    assert resident_prefs(30, 64) is None  # rows not 8-aligned
-    assert resident_prefs(1024, 1024) is not None  # the headline grid
-    assert resident_prefs(32, 64) is not None
+    assert resident_prefs(16384, 1024, transposed=False) is None  # 604 MB/buffer
+    assert resident_prefs(30, 64, transposed=False) is None  # rows not 8-aligned
+    assert resident_prefs(1024, 1024, transposed=False) is not None  # the headline grid
+    assert resident_prefs(32, 64, transposed=False) is not None
     # Transposed states never AUTO-select the in-place mode: measured
     # 227x slower than the blocked kernel at 16384 rows x 128 lanes
     # (register-spill thrash; docs/PERF.md). Row-layout in-place and
