@@ -1260,9 +1260,12 @@ class TransposedCarryStep(CarryStep):
 def supports_tpu_grid(ny: int, nx: int) -> bool:
     """Whether the Mosaic (compiled, non-interpret) kernel can run this
     grid on real TPU: block DMA offsets and sizes must stay
-    (8, 128)-tile aligned in rows (CLAUDE.md Mosaic constraints), so the
-    (possibly transposed) row count and the block height it implies must
-    be 8-multiples. Every official scene qualifies; odd shapes like
+    (8, 128)-tile aligned on BOTH axes (CLAUDE.md Mosaic constraints),
+    so the (possibly transposed) row count and the block height it
+    implies must be 8-multiples AND the lane dimension a 128-multiple
+    (a 16-lane grid compiles to 128-misaligned memref slices and Mosaic
+    rejects it; a 32-lane sharded compile once took the whole tunnel
+    session down). Every official scene qualifies; odd shapes like
     100x100 do not and should take the XLA reference kernel instead
     (runner._resolve_kernel does this automatically for kernel="auto").
     Interpret mode has no such constraint — CPU tests cover odd shapes."""
@@ -1270,7 +1273,7 @@ def supports_tpu_grid(ny: int, nx: int) -> bool:
     h = nx if transposed else ny
     lanes = ny if transposed else nx
     by = _pick_block_rows(h, lanes)
-    return h % 8 == 0 and by % 8 == 0
+    return h % 8 == 0 and by % 8 == 0 and lanes % 128 == 0
 
 
 def _depth_preference(rows: int, lanes: int) -> list[int]:

@@ -163,8 +163,9 @@ def _resolve_kernel(kernel: str, params: Params) -> str:
         if not pallas_fused.supports_tpu_grid(params.ny, params.nx):
             raise ValueError(
                 f"grid {params.ny}x{params.nx}: the Mosaic kernel needs "
-                "an 8-aligned (possibly transposed) row count on real "
-                "TPU; use --kernel reference for this grid"
+                "an 8-aligned (possibly transposed) row count and a "
+                "128-aligned lane dimension on real TPU; use --kernel "
+                "reference for this grid"
             )
     if kernel not in ("reference", "pallas"):
         raise ValueError(f"unknown kernel {kernel!r}")

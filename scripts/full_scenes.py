@@ -1,0 +1,210 @@
+#!/usr/bin/env python3
+"""Full-scale cross-kernel validation for the goldenless scenes.
+
+The reference ships 8 official scenes but golden outputs for only 4
+(check/ data; check_commands.txt:1-5); its four production-size grids
+(2048x1024 .. 16384x1024, input_*.params) were validated on the cluster
+only by eyeballing Reynolds numbers and timing sweeps (js_procs/). This
+harness gives those scenes a real acceptance gate the reference never
+had: run each FULL scene end-to-end twice — once on the production
+(auto-selected Pallas) kernel and once on the portable jnp reference
+path — and require the two 20000-step av_vels trajectories and final
+|u| fields to agree by check.py's own max-%-diff formula
+(check/check.py:83-99) within a budget far under its 1% tolerance.
+
+Because both kernels share `_bgk_update` (ops/reference.py), the only
+legal divergence is f32 reassociation of block/reduction order, so the
+gate is tight (default 0.3% — same budget as the golden drift gate).
+
+Artifact: docs/artifacts/full_scenes.json (scene -> reynolds, GLUPS,
+max %diffs, pass). TPU-intended (the jnp leg of 16384x1024 is ~1 min on
+one v5e chip and hours on CPU); each leg runs in its own timeout-guarded
+subprocess so a half-dead tunnel cannot hang the harness (CLAUDE.md).
+
+Usage: python scripts/full_scenes.py [--scenes 2048x1024 ...]
+           [--scene-dir /root/reference] [--gate-pct 0.3]
+           [-o docs/artifacts/full_scenes.json]
+"""
+
+import argparse
+import json
+import re
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+# The four official scenes whose goldens don't exist (the other four are
+# gated against the reference's own data by scripts/validate_scenes.py).
+SCENES = ["2048x1024", "4096x1024", "8192x1024", "16384x1024"]
+GATE_PCT = 0.3
+
+
+def _child_env(platform: str | None) -> dict | None:
+    """Environment for a CLI leg. ``--platform cpu`` must also strip the
+    axon sitecustomize from PYTHONPATH: the tunnel plugin re-registers
+    itself programmatically and beats the JAX_PLATFORMS env var in a
+    child process (CLAUDE.md; same pattern as the CLI subprocess
+    tests)."""
+    if platform is None:
+        return None
+    import os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = platform
+    if platform == "cpu":
+        parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                 if p and "axon_site" not in p]
+        env["PYTHONPATH"] = os.pathsep.join(parts)
+    return env
+
+
+def _run_cli(scene: str, scene_dir: Path, kernel: str, workdir: Path,
+             timeout: float, platform: str | None = None) -> dict:
+    """One end-to-end CLI run; returns parsed stdout + output paths."""
+    av = workdir / f"{scene}.{kernel}.av_vels.dat"
+    fs = workdir / f"{scene}.{kernel}.final_state.dat"
+    cmd = [
+        sys.executable, "-m", "lbm_tpu",
+        str(scene_dir / f"input_{scene}.params"),
+        str(scene_dir / f"obstacles_{scene}.dat"),
+        "--kernel", kernel,
+        "--av-vels-file", str(av),
+        "--final-state-file", str(fs),
+    ]
+    t0 = time.perf_counter()
+    res = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                         timeout=timeout, env=_child_env(platform))
+    wall = time.perf_counter() - t0
+    if res.returncode != 0:
+        return {"error": res.stderr[-1000:], "wall_seconds": round(wall, 2)}
+    m_rey = re.search(r"Reynolds number:\s+(\S+)", res.stdout)
+    m_cmp = re.search(r"Compute time:\s+(\S+)", res.stdout)
+    if m_rey is None or m_cmp is None:
+        return {"error": f"unexpected CLI stdout: {res.stdout[-500:]!r}",
+                "wall_seconds": round(wall, 2)}
+    return {
+        "reynolds": float(m_rey.group(1)),
+        "compute_seconds": float(m_cmp.group(1)),
+        "wall_seconds": round(wall, 2),
+        "av_vels_file": av,
+        "final_state_file": fs,
+    }
+
+
+def _scene_cells_iters(scene: str, scene_dir: Path) -> tuple:
+    from lbm_tpu.params import load_params
+
+    p = load_params(scene_dir / f"input_{scene}.params")
+    return p.nx * p.ny, p.max_iters
+
+
+def run_scene(scene: str, scene_dir: Path, workdir: Path,
+              gate_pct: float, timeout: float,
+              platform: str | None = None) -> dict:
+    from lbm_tpu.io import _diff
+
+    out = {"scene": scene, "gate_pct": gate_pct}
+    legs = {}
+    for kernel in ("auto", "reference"):
+        leg = _run_cli(scene, scene_dir, kernel, workdir, timeout,
+                       platform=platform)
+        if "error" in leg:
+            out.update({"pass": False, "kernel": kernel,
+                        "error": leg["error"]})
+            return out
+        legs[kernel] = leg
+        cells, iters = _scene_cells_iters(scene, scene_dir)
+        tag = "production" if kernel == "auto" else "jnp_reference"
+        out[tag] = {
+            "reynolds": leg["reynolds"],
+            "compute_seconds": leg["compute_seconds"],
+            "wall_seconds": leg["wall_seconds"],
+            "glups": round(cells * iters / leg["compute_seconds"] / 1e9, 2),
+        }
+
+    # Cross-kernel trajectory fingerprint: av_vels col 1 (one scalar per
+    # timestep — the whole trajectory), final_state col 5 (|u| per cell),
+    # compared with check.py's formula via the library's single
+    # implementation of it (io._diff, the same one the golden gates use).
+    ref_av = np.loadtxt(legs["reference"]["av_vels_file"], usecols=[1])
+    sim_av = np.loadtxt(legs["auto"]["av_vels_file"], usecols=[1])
+    assert ref_av.size == sim_av.size, "step-count mismatch between legs"
+    ref_u = np.loadtxt(legs["reference"]["final_state_file"], usecols=[5])
+    sim_u = np.loadtxt(legs["auto"]["final_state_file"], usecols=[5])
+    assert ref_u.size == sim_u.size, "cell-count mismatch between legs"
+    av_pct = abs(float(_diff(ref_av, sim_av, gate_pct).max_diff_pcnt))
+    u_pct = abs(float(_diff(ref_u, sim_u, gate_pct).max_diff_pcnt))
+    out["max_av_vels_pct"] = av_pct
+    out["max_final_state_pct"] = u_pct
+    out["pass"] = av_pct <= gate_pct and u_pct <= gate_pct
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scenes", nargs="+", default=SCENES)
+    p.add_argument("--scene-dir", default="/root/reference",
+                   help="directory holding input_*.params / "
+                        "obstacles_*.dat (tests point this at tiny "
+                        "synthetic scenes)")
+    p.add_argument("--gate-pct", type=float, default=GATE_PCT)
+    p.add_argument("--timeout", type=float, default=3600.0,
+                   help="per-leg subprocess timeout (first execution on "
+                        "the tunnelled TPU can stall minutes)")
+    p.add_argument("-o", "--output", default="docs/artifacts/full_scenes.json")
+    p.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu"],
+        help="force the jax platform in the CLI legs (tests use cpu; "
+             "the artifact is TPU-intended)",
+    )
+    p.add_argument(
+        "--append", action="store_true",
+        help="merge into the existing artifact: re-run scenes replace "
+             "their rows, other scenes' rows are kept",
+    )
+    args = p.parse_args(argv)
+
+    results = {
+        "gate_pct": args.gate_pct,
+        "note": (
+            "cross-kernel acceptance for the goldenless official scenes: "
+            "production (auto Pallas) vs portable jnp trajectories over "
+            "the full scene length, check.py's max-%-diff formula; "
+            "single-shot compute times can absorb the tunnelled TPU's "
+            "first-execution stall (docs/PERF.md methodology #4)"
+        ),
+        "scenes": [],
+    }
+    with tempfile.TemporaryDirectory() as td:
+        for scene in args.scenes:
+            try:
+                r = run_scene(scene, Path(args.scene_dir).resolve(), Path(td),
+                              args.gate_pct, args.timeout,
+                              platform=args.platform)
+            except Exception as exc:  # record, keep going
+                r = {"scene": scene, "pass": False,
+                     "error": f"{type(exc).__name__}: {exc}"[:500]}
+            print(json.dumps(r), flush=True)
+            results["scenes"].append(r)
+    out = Path(args.output)
+    if args.append and out.exists():
+        prev = json.loads(out.read_text())
+        redone = {s["scene"] for s in results["scenes"]}
+        kept = [s for s in prev.get("scenes", []) if s["scene"] not in redone]
+        results["scenes"] = kept + results["scenes"]
+    results["ok"] = all(s.get("pass") for s in results["scenes"])
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(results, indent=2) + "\n")
+    print(f"{'PASS' if results['ok'] else 'FAIL'} -> {out}")
+    return 0 if results["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

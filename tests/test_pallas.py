@@ -326,8 +326,15 @@ def test_supports_tpu_grid_and_resolution(monkeypatch):
     assert supports_tpu_grid(1024, 16384)  # transposed: h = nx
     assert supports_tpu_grid(128, 131072)
     assert not supports_tpu_grid(100, 100)
-    assert supports_tpu_grid(25, 64)  # transposes: h = nx = 64, aligned
-    assert not supports_tpu_grid(25, 32)  # no transpose, h = 25
+    # Lane alignment: the lane dimension must be a 128-multiple on real
+    # TPU — a 16-lane auto-resolved grid produced a live Mosaic compile
+    # failure ("Slice shape along dimension 2 must be aligned to tiling
+    # (128), but is 16") before this gate covered lanes.
+    assert not supports_tpu_grid(16, 32)   # transposed, lanes = ny = 16
+    assert not supports_tpu_grid(25, 64)   # transposed, lanes = ny = 25
+    assert not supports_tpu_grid(25, 32)   # no transpose, h = 25
+    assert not supports_tpu_grid(128, 64)  # rows aligned, lanes = 64
+    assert supports_tpu_grid(128, 256)
 
     monkeypatch.setattr(runner.jax, "default_backend", lambda: "tpu")
     p_ok = small_params(ny=128, nx=128)

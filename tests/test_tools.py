@@ -292,3 +292,48 @@ def test_trace_report_self_time_accounting(tmp_path):
     # Device total equals the union of busy time, not a multi-lane sum.
     assert rep["device_total_us"] == 98.0
     assert by_op["kernel"]["pct_device"] == round(100 * 75 / 98, 2)
+
+
+def test_full_scenes_script(tmp_path):
+    """scripts/full_scenes.py mechanics on a tiny synthetic scene: both
+    CLI legs run, the cross-kernel diff gates, and --append merges."""
+    scene_dir = tmp_path / "scenes"
+    scene_dir.mkdir()
+    (scene_dir / "input_32x16.params").write_text(
+        "32\n16\n20\n10\n0.1\n0.005\n1.85\n"
+    )
+    res = subprocess.run(
+        [sys.executable, str(REPO / "scripts/generate_obstacles.py"),
+         "32", "16", "-o", str(scene_dir / "obstacles_32x16.dat")],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+
+    out = tmp_path / "full_scenes.json"
+    res = subprocess.run(
+        [sys.executable, str(REPO / "scripts/full_scenes.py"),
+         "--scenes", "32x16", "--scene-dir", str(scene_dir),
+         "--platform", "cpu", "-o", str(out)],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    data = json.loads(out.read_text())
+    assert data["ok"] is True
+    (row,) = data["scenes"]
+    assert row["pass"] is True
+    assert row["max_av_vels_pct"] <= data["gate_pct"]
+    assert row["production"]["reynolds"] == row["jnp_reference"]["reynolds"]
+
+    # --append replaces the re-run scene's row and keeps others.
+    data["scenes"].append({"scene": "other", "pass": True})
+    out.write_text(json.dumps(data))
+    res = subprocess.run(
+        [sys.executable, str(REPO / "scripts/full_scenes.py"),
+         "--scenes", "32x16", "--scene-dir", str(scene_dir),
+         "--platform", "cpu", "-o", str(out), "--append"],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    data = json.loads(out.read_text())
+    assert {s["scene"] for s in data["scenes"]} == {"32x16", "other"}
+    assert sum(s["scene"] == "32x16" for s in data["scenes"]) == 1
