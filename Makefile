@@ -8,7 +8,7 @@ AV_VELS_FILE ?= ./av_vels.dat
 REF_FINAL_STATE_FILE ?= /root/reference/check/128x128.final_state.dat
 REF_AV_VELS_FILE ?= /root/reference/check/128x128.av_vels.dat
 
-.PHONY: all native test check bench validate mosaic clean
+.PHONY: all native test check bench validate fullscenes mosaic clean
 
 all: native
 
@@ -31,6 +31,13 @@ bench:
 # reference's own checker (emits docs/artifacts/validate_scenes.json).
 validate:
 	$(PY) scripts/validate_scenes.py
+
+# Cross-kernel acceptance for the four goldenless official scenes
+# (production Pallas vs portable jnp over the FULL scene length; emits
+# docs/artifacts/full_scenes.json). TPU-intended — the jnp legs take
+# hours on CPU.
+fullscenes:
+	$(PY) scripts/full_scenes.py
 
 # Prove the sharded pallas program under real Mosaic with a 1-device
 # mesh (emits docs/artifacts/mosaic_shardmap.json).
