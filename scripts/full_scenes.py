@@ -57,6 +57,21 @@ def _child_env(platform: str | None) -> dict | None:
     import os
 
     env = dict(os.environ)
+    if platform == "tpu":
+        # The tunnelled TPU registers its platform as 'axon', not
+        # 'tpu' (CLAUDE.md) — exporting JAX_PLATFORMS=tpu there fails
+        # the plugin lookup. '--platform tpu' therefore means "the
+        # ambient accelerator": inherit the environment unchanged
+        # unless it is pinned to cpu, which we refuse loudly rather
+        # than silently running the hours-long CPU legs.
+        ambient = env.get("JAX_PLATFORMS", "").split(",")[0].strip()
+        if ambient.lower() == "cpu":
+            raise RuntimeError(
+                "--platform tpu requested but JAX_PLATFORMS=cpu is "
+                "exported; unset it (or export your TPU platform "
+                "name) so the CLI legs can see the accelerator"
+            )
+        return env
     env["JAX_PLATFORMS"] = platform
     if platform == "cpu":
         parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)

@@ -337,3 +337,34 @@ def test_full_scenes_script(tmp_path):
     data = json.loads(out.read_text())
     assert {s["scene"] for s in data["scenes"]} == {"32x16", "other"}
     assert sum(s["scene"] == "32x16" for s in data["scenes"]) == 1
+
+
+def test_full_scenes_child_env_tpu_alias(monkeypatch):
+    """'--platform tpu' must NOT export JAX_PLATFORMS=tpu: the tunnelled
+    TPU registers as 'axon' (CLAUDE.md), so the literal name would fail
+    the plugin lookup in the child. It means "the ambient accelerator"
+    (env inherited unchanged) and refuses a cpu-pinned environment
+    loudly instead of silently running the hours-long CPU legs."""
+    import importlib.util
+
+    import pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "fs", REPO / "scripts/full_scenes.py")
+    fs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fs)
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    env = fs._child_env("tpu")
+    assert env["JAX_PLATFORMS"] == "axon"
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    with pytest.raises(RuntimeError, match="JAX_PLATFORMS=cpu"):
+        fs._child_env("tpu")
+
+    # The cpu leg still pins the platform and strips the axon site hook.
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setenv("PYTHONPATH", "/root/.axon_site:/x")
+    env = fs._child_env("cpu")
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert "axon_site" not in env["PYTHONPATH"]
