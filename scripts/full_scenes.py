@@ -131,8 +131,17 @@ def run_scene(scene: str, scene_dir: Path, workdir: Path,
         leg = _run_cli(scene, scene_dir, kernel, workdir, timeout,
                        platform=platform)
         if "error" in leg:
+            # Distinguish infrastructure loss (tunnelled-TPU worker
+            # crash/restart, unavailability — rerunnable) from a
+            # deterministic failure of the kernels themselves, so a
+            # flaky tunnel doesn't read as a correctness regression in
+            # the artifact (same split as bench.py's retry logic).
+            infra = any(s in leg["error"] for s in (
+                "UNAVAILABLE", "worker process crashed", "timed out",
+                "DEADLINE_EXCEEDED"))
             out.update({"pass": False, "kernel": kernel,
-                        "error": leg["error"]})
+                        "error": leg["error"],
+                        "error_kind": "infra" if infra else "deterministic"})
             return out
         legs[kernel] = leg
         cells, iters = _scene_cells_iters(scene, scene_dir)
