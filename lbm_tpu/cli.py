@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="resume from a checkpoint file",
     )
     p.add_argument(
+        "--chunk-iters", type=int, default=None, metavar="N",
+        help="bound any single device execution to N timesteps, without "
+             "checkpoint I/O (identical trajectory; use when the "
+             "accelerator transport kills minutes-long executions — the "
+             "tunnelled-TPU watchdog, docs/PERF.md)",
+    )
+    p.add_argument(
         "--precision",
         choices=["float32", "float64"],
         default="float32",
@@ -177,6 +184,7 @@ def _main(argv: list[str] | None = None) -> int:
         checkpoint_file=ckpt_file,
         resume_from=args.resume,
         trace_dir=args.trace,
+        chunk_iters=args.chunk_iters,
     )
 
     if result.preempted:

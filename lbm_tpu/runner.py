@@ -343,6 +343,7 @@ def run_simulation(
     checkpoint_file: str | Path | None = None,
     resume_from: str | Path | None = None,
     trace_dir: str | Path | None = None,
+    chunk_iters: int | None = None,
 ) -> SimulationResult:
     """Run the full simulation and return final state + trajectory.
 
@@ -353,6 +354,12 @@ def run_simulation(
 
     ``checkpoint_every``/``checkpoint_file``: periodically persist state;
     ``resume_from``: continue a previous run's checkpoint.
+    ``chunk_iters``: bound any single device execution to this many
+    timesteps WITHOUT checkpoint I/O (trajectory identical — the same
+    chunked runners the checkpoint path uses, minus the per-chunk
+    ~35 MB/s host flush). Motivation: the tunnelled TPU reproducibly
+    kills executions that run for minutes (the 16384x1024 jnp leg,
+    ~145 s in one call, crashed the worker twice; chunked it survives).
     ``debug``: print the reference's -DDEBUG per-step block (slow path).
     ``trace_dir``: capture a jax.profiler trace of the compute phase
     (the gprof/Advisor analogue — profiling.trace; view with xprof or
@@ -379,10 +386,22 @@ def run_simulation(
         )
     if checkpoint_every is not None and checkpoint_file is None:
         # Without a file the chunked path would run (slower) and save
-        # nothing — a misconfiguration, not a request.
+        # nothing — a misconfiguration, not a request. Execution-length
+        # bounding without I/O is chunk_iters' job.
         raise ValueError(
             "checkpoint_every requires checkpoint_file (periodic "
-            "checkpointing needs somewhere to write)"
+            "checkpointing needs somewhere to write); to bound "
+            "execution length without saving, use chunk_iters"
+        )
+    if chunk_iters is not None and chunk_iters <= 0:
+        raise ValueError(
+            f"chunk_iters must be a positive step count, got {chunk_iters}"
+        )
+    if chunk_iters is not None and checkpoint_every is not None:
+        # Two competing strides would silently pick one; refuse.
+        raise ValueError(
+            "chunk_iters and checkpoint_every are mutually exclusive "
+            "(checkpointing already chunks at its own stride)"
         )
     iters = params.max_iters if n_iters is None else n_iters
     if iters <= 0:
@@ -468,7 +487,8 @@ def run_simulation(
         )
 
     completed, preempted = iters, False
-    if mesh is not None and not (checkpoint_every or start_step):
+    chunked = bool(checkpoint_every or chunk_iters or start_step)
+    if mesh is not None and not chunked:
         from lbm_tpu.parallel import halo
 
         simulate = halo.make_sharded_simulate(
@@ -483,11 +503,11 @@ def run_simulation(
         with timers.phase("compute"), trace_ctx():
             cells, av_vels = compiled(cells0, obs_dev, inv_fluid)
             _fence(av_vels)
-    elif checkpoint_every or start_step:
+    elif chunked:
         # Chunked path (single-device or sharded): one jitted runner per
         # distinct chunk length (full chunks + possibly a shorter tail),
         # all compiled before the compute timer starts.
-        stride = checkpoint_every or (iters - start_step)
+        stride = checkpoint_every or chunk_iters or (iters - start_step)
         if mesh is not None:
             from lbm_tpu.parallel import halo
 

@@ -81,7 +81,8 @@ def _child_env(platform: str | None) -> dict | None:
 
 
 def _run_cli(scene: str, scene_dir: Path, kernel: str, workdir: Path,
-             timeout: float, platform: str | None = None) -> dict:
+             timeout: float, platform: str | None = None,
+             extra_args: list | None = None) -> dict:
     """One end-to-end CLI run; returns parsed stdout + output paths."""
     av = workdir / f"{scene}.{kernel}.av_vels.dat"
     fs = workdir / f"{scene}.{kernel}.final_state.dat"
@@ -92,6 +93,7 @@ def _run_cli(scene: str, scene_dir: Path, kernel: str, workdir: Path,
         "--kernel", kernel,
         "--av-vels-file", str(av),
         "--final-state-file", str(fs),
+        *(extra_args or []),
     ]
     t0 = time.perf_counter()
     res = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
@@ -122,14 +124,22 @@ def _scene_cells_iters(scene: str, scene_dir: Path) -> tuple:
 
 def run_scene(scene: str, scene_dir: Path, workdir: Path,
               gate_pct: float, timeout: float,
-              platform: str | None = None) -> dict:
+              platform: str | None = None,
+              jnp_chunk_iters: int | None = None) -> dict:
     from lbm_tpu.io import _diff
 
     out = {"scene": scene, "gate_pct": gate_pct}
     legs = {}
     for kernel in ("auto", "reference"):
+        # The jnp leg of the big scenes runs minutes in ONE device
+        # execution, which the tunnelled TPU's transport reproducibly
+        # kills (worker crash at 16384x1024, ~145 s); --chunk-iters
+        # bounds each execution with an identical trajectory. The
+        # production leg stays unchunked — it is the timed artifact.
+        extra = (["--chunk-iters", str(jnp_chunk_iters)]
+                 if jnp_chunk_iters and kernel == "reference" else None)
         leg = _run_cli(scene, scene_dir, kernel, workdir, timeout,
-                       platform=platform)
+                       platform=platform, extra_args=extra)
         if "error" in leg:
             # Distinguish infrastructure loss (tunnelled-TPU worker
             # crash/restart, unavailability — rerunnable) from a
@@ -189,6 +199,12 @@ def main(argv=None):
              "the artifact is TPU-intended)",
     )
     p.add_argument(
+        "--jnp-chunk-iters", type=int, default=2000, metavar="N",
+        help="bound the jnp leg's single device executions to N steps "
+             "(0 disables); identical trajectory, dodges the tunnelled "
+             "TPU's long-execution watchdog",
+    )
+    p.add_argument(
         "--append", action="store_true",
         help="merge into the existing artifact: re-run scenes replace "
              "their rows, other scenes' rows are kept",
@@ -211,7 +227,8 @@ def main(argv=None):
             try:
                 r = run_scene(scene, Path(args.scene_dir).resolve(), Path(td),
                               args.gate_pct, args.timeout,
-                              platform=args.platform)
+                              platform=args.platform,
+                              jnp_chunk_iters=args.jnp_chunk_iters or None)
             except Exception as exc:  # record, keep going
                 r = {"scene": scene, "pass": False,
                      "error": f"{type(exc).__name__}: {exc}"[:500]}

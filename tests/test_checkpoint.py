@@ -485,3 +485,41 @@ def test_cli_checkpoint_file_without_every_warns(tmp_path, capsys):
     assert rc == 0
     assert "saves nothing" in capsys.readouterr().err
     assert not ck.exists()
+
+
+def test_chunk_iters_equals_single_shot():
+    """chunk_iters bounds single device executions with NO checkpoint
+    I/O and an identical trajectory (the tunnelled TPU reproducibly
+    kills minutes-long executions; docs/PERF.md). Exercises full
+    chunks + a shorter tail (30 = 7+7+7+7+2)."""
+    p = small_params()
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+    ch = run_simulation(p, obstacles, kernel="reference", chunk_iters=7)
+    np.testing.assert_array_equal(base.cells, ch.cells)
+    np.testing.assert_array_equal(base.av_vels, ch.av_vels)
+    assert ch.completed_steps == p.max_iters
+    assert not ch.preempted
+
+
+def test_chunk_iters_sharded_equals_single_shot():
+    from lbm_tpu.parallel.decomp import make_mesh
+
+    p = small_params()
+    obstacles = generate_obstacles(p.nx, p.ny)
+    base = run_simulation(p, obstacles, kernel="reference")
+    ch = run_simulation(p, obstacles, kernel="reference", chunk_iters=8,
+                        mesh=make_mesh(4))
+    np.testing.assert_array_equal(np.asarray(base.cells),
+                                  np.asarray(ch.cells))
+    np.testing.assert_allclose(base.av_vels, ch.av_vels, rtol=1e-6)
+
+
+def test_chunk_iters_validation():
+    p = small_params()
+    obstacles = generate_obstacles(p.nx, p.ny)
+    with pytest.raises(ValueError, match="chunk_iters must be"):
+        run_simulation(p, obstacles, chunk_iters=0)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_simulation(p, obstacles, chunk_iters=5, checkpoint_every=5,
+                       checkpoint_file="x.npz")
