@@ -3,13 +3,15 @@
 result (6.2 GLUPS: 1024^2 x 20000 iters / 3.38 s on 112 Broadwell cores,
 report_mpi/report.tex:109-112, BASELINE.md).
 
-Line 1 is the headline JSON {"metric", "value", "unit", "vs_baseline"}
-(the driver parses this line). On TPU, secondary JSON lines follow for
-the reference's stress grids — 16384x1024 (the weak-scaling north-star
-shape, vs the same 6.2 GLUPS cluster rate) and 131072x128 (vs the
-reference's 4-node hybrid: 445.66 s / 20000 iters = 0.753 GLUPS,
-report_mpi/report.tex:859) — so large-state regressions are visible to
-the driver gate (VERDICT r1 #6).
+The headline JSON {"metric", "value", "unit", "vs_baseline"} is printed
+the MOMENT the first successful measurement lands (round-3 postmortem:
+an outer driver timeout killed the old end-of-run print before any line
+appeared — BENCH_r03.json rc=124, empty). On TPU, secondary JSON lines
+then follow for the reference's stress grids — 16384x1024 (the
+weak-scaling north-star shape, vs the same 6.2 GLUPS cluster rate) and
+131072x128 (vs the reference's 4-node hybrid: 445.66 s / 20000 iters =
+0.753 GLUPS, report_mpi/report.tex:859) — and the headline is repeated
+as the final line (the driver records the last complete JSON line).
 
 Measurement rules for the tunnelled TPU (docs/PERF.md): state is created
 on-device (host uploads run ~35 MB/s), the freshly compiled program gets
@@ -134,26 +136,33 @@ def _error_kind(err: str) -> str:
 def main() -> int:
     kernel = sys.argv[1] if len(sys.argv) > 1 else "auto"
 
+    # Two-phase budget (round-3 postmortem: the driver's outer timeout
+    # killed the bench before it printed ANYTHING — BENCH_r03.json was
+    # rc=124 with an empty tail — because the old single 4200 s budget
+    # was sized for TPU-outage survival, not for the driver's window,
+    # and the headline was only printed after the whole loop resolved).
+    # Phase 1 [LBM_BENCH_FIRST_BUDGET_S, default 900 s]: get ONE
+    #   measurement and print the headline JSON the moment it succeeds
+    #   (or a fallback/failure line when the phase expires) — so a kill
+    #   at ANY later point still leaves a parsable headline behind.
+    # Phase 2 [remainder of LBM_BENCH_BUDGET_S]: stress grids, then
+    #   re-print the headline as the final line (the driver records the
+    #   last JSON line; a mid-stress kill leaves the latest complete
+    #   line, which is always a real measurement).
+    #
     # The tunnelled TPU session drops out for stretches — an hour+ after
-    # a Mosaic crash (CLAUDE.md). Every hardware measurement (headline
-    # included) runs in a timeout-guarded subprocess: a hung device call
-    # on a half-dead tunnel is not an Exception, so an in-process
-    # measurement could hang forever. Probe for ~65 minutes (covering
-    # the documented outage length) before falling back to a (honest,
-    # slow) CPU measurement — but a measurement that FAILS while the
-    # TPU is alive is a real failure (diverged trajectory, compile
-    # error), reported as such rather than mislabeled as unavailability
-    # (review finding).
-    # The attempt counter bounds ATTEMPTS; the deadline bounds
-    # WALL-CLOCK (review finding: a half-alive tunnel — tiny probe
-    # succeeds, big program hangs — used to retry the 1800 s headline
-    # measurement all 25 times, ~13 h, because timeout errors are
-    # exempt from the deterministic-failure breaks). The budget covers
-    # the documented hour-plus outage window with margin.
+    # a Mosaic crash (CLAUDE.md). Every hardware measurement runs in a
+    # timeout-guarded subprocess: a hung device call on a half-dead
+    # tunnel is not an Exception, so an in-process measurement could
+    # hang forever. A measurement that FAILS while the TPU is alive is a
+    # real failure (diverged trajectory, compile error), reported as
+    # such rather than mislabeled as unavailability (review finding).
     import os
 
-    attempts = 25
-    deadline = time.monotonic() + float(
+    deadline_first = time.monotonic() + float(
+        os.environ.get("LBM_BENCH_FIRST_BUDGET_S", "900")
+    )
+    deadline_total = time.monotonic() + float(
         os.environ.get("LBM_BENCH_BUDGET_S", "4200")
     )
     headline = None
@@ -161,10 +170,8 @@ def main() -> int:
     same_error = 0
     hard_errors = 0
     no_tpu = False
-    for attempt in range(attempts):
-        remaining = deadline - time.monotonic()
-        if remaining <= 0:
-            break
+    attempt = 0
+    while time.monotonic() < deadline_first:
         probe = _tpu_probe()
         if probe == "no-tpu":
             # jax works but no TPU backend exists here — retrying
@@ -172,10 +179,14 @@ def main() -> int:
             no_tpu = True
             break
         if probe == "tpu":
+            remaining = deadline_first - time.monotonic()
             line = _stress_line(
                 "GLUPS_1024x1024", 1024, 1024, 10000, kernel,
                 BASELINE_GLUPS, repeats=3,
-                timeout_s=min(1800.0, max(remaining, 120.0)),
+                # Cap per-attempt timeout so one compile stall cannot
+                # eat the whole first-line budget; floor it above the
+                # documented worst-case compile+first-exec (~240 s).
+                timeout_s=min(780.0, max(remaining, 300.0)),
             )
             if "value" in line:
                 headline = line
@@ -184,8 +195,8 @@ def main() -> int:
             # Compare error IDENTITY, not text: per-run paths/addresses/
             # timings vary between attempts of the same deterministic
             # failure (review finding — a varying message used to retry
-            # the full ~40-minute probe loop for a failure that was
-            # deterministic from attempt 1).
+            # the full probe loop for a failure that was deterministic
+            # from attempt 1).
             kind = _error_kind(err)
             same_error = same_error + 1 if kind == last_error else 1
             last_error = kind
@@ -195,8 +206,9 @@ def main() -> int:
                   file=sys.stderr, flush=True)
             if "timeout" not in kind and (same_error >= 2 or hard_errors >= 4):
                 break  # deterministic failure; retrying cannot help
-        if attempt < attempts - 1 and deadline - time.monotonic() > 0:
-            time.sleep(90)
+        attempt += 1
+        if deadline_first - time.monotonic() > 30:
+            time.sleep(30)
     if headline is None:
         if last_error and "timeout" not in last_error and not no_tpu:
             # The TPU was ALIVE and the measurement failed anyway
@@ -229,12 +241,26 @@ def main() -> int:
         }))
         return 0
 
+    # FIRST: the headline, flushed immediately — from here on, a driver
+    # kill at any point still leaves a real TPU number in the output.
     print(json.dumps(headline), flush=True)
 
-    # Secondary lines: stress grids (driver parses line 1 only).
+    # Phase 2: stress grids within the remaining total budget.
     for metric, nx, ny, iters, base in STRESS_GRIDS:
-        line = _stress_line(metric, nx, ny, iters, kernel, base)
+        remaining = deadline_total - time.monotonic()
+        if remaining < 120:
+            print(json.dumps({"metric": metric,
+                              "skipped": "bench budget exhausted"}),
+                  file=sys.stderr, flush=True)
+            continue
+        line = _stress_line(metric, nx, ny, iters, kernel, base,
+                            timeout_s=min(900.0, remaining))
         print(json.dumps(line), flush=True)
+
+    # LAST line = the headline again, so the driver's last-JSON-line
+    # parse records the 1024^2 headline in the clean-exit case too
+    # (round 2 recorded the 131072x128 stress line as "parsed").
+    print(json.dumps(headline), flush=True)
     return 0
 
 
