@@ -126,38 +126,15 @@ def _main(argv: list[str] | None = None) -> int:
 
     mesh = None
     if args.devices > 1:
-        from lbm_tpu.parallel.decomp import largest_divisor_leq, make_mesh
+        # Clamp to visible devices; non-divisor counts pad behind
+        # boundary walls, wall-less masks demote to a divisor — the
+        # whole policy lives (and is unit-tested) in halo.resolve_mesh.
+        from lbm_tpu.parallel.halo import resolve_mesh
 
-        import jax
-
-        usable = min(args.devices, len(jax.devices()))
-        if usable != args.devices:
-            print(
-                f"note: using {usable} devices "
-                f"({len(jax.devices())} visible)",
-                file=sys.stderr,
-            )
-        if usable > 1:
-            mesh = make_mesh(usable)
-            # Non-divisor counts run via wall-shielded obstacle-row
-            # padding (halo.plan_row_padding); only when the mask lacks
-            # boundary walls does the count demote to a divisor. This is
-            # a feasibility PROBE only — the pad count is discarded and
-            # run_simulation recomputes the identical plan from the same
-            # single owner (halo.plan_row_padding), so the two calls
-            # cannot drift.
-            from lbm_tpu.parallel.halo import plan_row_padding
-
-            try:
-                plan_row_padding(params, obstacles, mesh, args.kernel)
-            except ValueError:
-                fallback = largest_divisor_leq(params.ny, usable)
-                print(
-                    f"note: using {fallback} devices (ny={params.ny} has "
-                    "no boundary walls to pad behind; divisor fallback)",
-                    file=sys.stderr,
-                )
-                mesh = make_mesh(fallback) if fallback > 1 else None
+        mesh, notes = resolve_mesh(params, obstacles, args.devices,
+                                   args.kernel)
+        for note in notes:
+            print(note, file=sys.stderr)
 
     ckpt_file = args.checkpoint_file
     if args.checkpoint_every is None:

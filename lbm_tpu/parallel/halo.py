@@ -359,6 +359,51 @@ def plan_row_padding(params: Params, obstacles, mesh: Mesh,
     return ny_pad - ny
 
 
+def resolve_mesh(params: Params, obstacles, n_devices: int, kernel: str,
+                 backend: str | None = None):
+    """Resolve a requested device count to a usable mesh (or ``None``
+    for unsharded) — the CLI's device policy as a library contract
+    (VERDICT r3 #5), so the demotion rules are tested behaviour rather
+    than driver-script accident:
+
+    1. clamp to the visible device count;
+    2. non-divisor counts keep all devices via wall-shielded
+       obstacle-row padding (:func:`plan_row_padding` — the equal-shard
+       answer to the reference's uneven ``allocate_rows``,
+       d2q9-bgk.c:483-492);
+    3. only when the mask lacks full boundary wall rows (padding would
+       change the physics) demote to the largest divisor of ny — the
+       one capability gap vs ``allocate_rows``, which balanced ANY
+       (ny, size) pair by giving the first ny%size ranks an extra row.
+
+    Returns ``(mesh_or_None, notes)``; ``notes`` are human-readable
+    demotion messages for the caller to surface (the CLI prints them to
+    stderr). This is a feasibility PROBE only — the padding plan is
+    discarded and run_simulation recomputes the identical plan from the
+    same single owner (plan_row_padding), so the two calls cannot
+    drift."""
+    from lbm_tpu.parallel.decomp import largest_divisor_leq, make_mesh
+
+    notes = []
+    visible = len(jax.devices())
+    usable = min(n_devices, visible)
+    if usable != n_devices:
+        notes.append(f"note: using {usable} devices ({visible} visible)")
+    if usable <= 1:
+        return None, notes
+    mesh = make_mesh(usable)
+    try:
+        plan_row_padding(params, obstacles, mesh, kernel, backend=backend)
+    except ValueError:
+        fallback = largest_divisor_leq(params.ny, usable)
+        notes.append(
+            f"note: using {fallback} devices (ny={params.ny} has no "
+            "boundary walls to pad behind; divisor fallback)"
+        )
+        mesh = make_mesh(fallback) if fallback > 1 else None
+    return mesh, notes
+
+
 def pad_scene(params: Params, obstacles, pad: int):
     """Apply :func:`plan_row_padding`'s result: ``pad`` all-obstacle rows
     below row 0 (indices shift up by ``pad``; the forced row stays at

@@ -7,6 +7,7 @@ suite imported the module, so a refactor of the underlying APIs
 the driver's gate without any test going red.
 """
 
+import pathlib
 import subprocess
 import sys
 
@@ -14,9 +15,12 @@ import jax
 import numpy as np
 import pytest
 
+REPO = str(pathlib.Path(__file__).resolve().parents[1])
+
 
 def test_entry_returns_jittable_step_and_args():
-    sys.path.insert(0, ".")
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
     import __graft_entry__ as g
 
     fn, args = g.entry()
@@ -36,7 +40,21 @@ def test_dryrun_multichip_subprocess():
     res = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(2)"],
-        capture_output=True, text=True, timeout=900,
+        capture_output=True, text=True, cwd=REPO,
+        # Above dryrun_multichip's own inner 1800 s subprocess timeout,
+        # so a slow-but-diagnosable inner failure surfaces as its
+        # RuntimeError (with captured output) rather than an opaque
+        # outer TimeoutExpired (advisor finding).
+        timeout=2100,
     )
     assert res.returncode == 0, res.stderr[-2000:]
-    assert "ok" in res.stdout
+    # Every sharding case must report, not just the first (a partial
+    # hang masked by capture would still contain one 'ok').
+    n_cases = res.stdout.count("] ok:")
+    import __graft_entry__ as g
+
+    expected = len(g._dryrun_cases(2))
+    assert n_cases == expected, (
+        f"expected {expected} dryrun case lines, saw {n_cases}:\n"
+        + res.stdout
+    )

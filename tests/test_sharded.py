@@ -426,3 +426,52 @@ class TestNonDivisorPadding:
         p32 = small_params(ny=16, nx=128)
         transposed, _, _, _ = plan_sharding(p32, make_mesh(4), "auto")
         assert transposed
+
+
+class TestResolveMesh:
+    """halo.resolve_mesh — the CLI's device policy as a tested library
+    contract (VERDICT r3 #5): clamp to visible devices, keep non-divisor
+    counts via wall-shielded padding, demote wall-less non-divisor
+    scenes to the largest divisor of ny."""
+
+    def test_walls_nondivisor_keeps_all_devices(self):
+        from lbm_tpu.parallel.halo import resolve_mesh
+
+        p = small_params(ny=46, nx=64)
+        walls = generate_obstacles(p.nx, p.ny)
+        mesh, notes = resolve_mesh(p, walls, 3, "reference")
+        assert mesh is not None and mesh.shape["y"] == 3
+        assert notes == []
+
+    def test_wall_less_nondivisor_demotes_to_divisor(self):
+        from lbm_tpu.parallel.halo import resolve_mesh
+
+        p = small_params(ny=46, nx=64)
+        no_walls = np.zeros((p.ny, p.nx), dtype=bool)
+        mesh, notes = resolve_mesh(p, no_walls, 3, "reference")
+        assert mesh is not None and mesh.shape["y"] == 2
+        assert any("divisor fallback" in n for n in notes)
+        # The fallback mesh must be usable end-to-end.
+        base = run_simulation(p, no_walls, kernel="reference")
+        got = run_simulation(p, no_walls, kernel="reference", mesh=mesh)
+        np.testing.assert_allclose(
+            base.cells, got.cells, rtol=2e-5, atol=5e-8
+        )
+
+    def test_wall_less_prime_ny_goes_unsharded(self):
+        from lbm_tpu.parallel.halo import resolve_mesh
+
+        p = small_params(ny=47, nx=64)
+        no_walls = np.zeros((p.ny, p.nx), dtype=bool)
+        mesh, notes = resolve_mesh(p, no_walls, 4, "reference")
+        assert mesh is None
+        assert any("divisor fallback" in n for n in notes)
+
+    def test_clamps_to_visible_devices(self):
+        from lbm_tpu.parallel.halo import resolve_mesh
+
+        p = small_params(ny=64, nx=64)
+        walls = generate_obstacles(p.nx, p.ny)
+        mesh, notes = resolve_mesh(p, walls, 64, "reference")
+        assert mesh is not None and mesh.shape["y"] == 8
+        assert any("8 devices" in n and "visible" in n for n in notes)
