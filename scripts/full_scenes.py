@@ -122,46 +122,111 @@ def _scene_cells_iters(scene: str, scene_dir: Path) -> tuple:
     return p.nx * p.ny, p.max_iters
 
 
+def _steady_state_glups(scene: str, scene_dir: Path,
+                        kernel: str = "auto") -> dict:
+    """Measure the scene shape's warm steady-state rate with the bench
+    harness's discipline (untimed first execution, host-fetch-fenced
+    timing, best of repeats — bench.measure_subprocess, THE shared
+    measurement path). Cheap after a full CLI leg: the compilation
+    cache is warm, so this is ~one program load + a few 2000-step
+    executions."""
+    from lbm_tpu.params import load_params
+
+    p = load_params(scene_dir / f"input_{scene}.params")
+    from bench import measure_subprocess
+
+    m = measure_subprocess(p.nx, p.ny, 2000, kernel=kernel, repeats=2,
+                           timeout_s=900.0)
+    if "glups" in m:
+        return {"steady_state_glups": round(m["glups"], 2),
+                "backend": m.get("backend")}
+    return {"steady_state_error": m["error"][:300]}
+
+
 def run_scene(scene: str, scene_dir: Path, workdir: Path,
               gate_pct: float, timeout: float,
               platform: str | None = None,
-              jnp_chunk_iters: int | None = None) -> dict:
+              jnp_chunk_iters: int | None = None,
+              stall_retries: int = 1) -> dict:
     from lbm_tpu.io import _diff
 
     out = {"scene": scene, "gate_pct": gate_pct}
     legs = {}
-    for kernel in ("auto", "reference"):
-        # The jnp leg of the big scenes runs minutes in ONE device
-        # execution, which the tunnelled TPU's transport reproducibly
-        # kills (worker crash at 16384x1024, ~145 s); --chunk-iters
-        # bounds each execution with an identical trajectory. The
-        # production leg stays unchunked — it is the timed artifact.
-        extra = (["--chunk-iters", str(jnp_chunk_iters)]
-                 if jnp_chunk_iters and kernel == "reference" else None)
-        leg = _run_cli(scene, scene_dir, kernel, workdir, timeout,
-                       platform=platform, extra_args=extra)
-        if "error" in leg:
-            # Distinguish infrastructure loss (tunnelled-TPU worker
-            # crash/restart, unavailability — rerunnable) from a
-            # deterministic failure of the kernels themselves, so a
-            # flaky tunnel doesn't read as a correctness regression in
-            # the artifact (same split as bench.py's retry logic).
-            infra = any(s in leg["error"] for s in (
-                "UNAVAILABLE", "worker process crashed", "timed out",
-                "DEADLINE_EXCEEDED"))
-            out.update({"pass": False, "kernel": kernel,
-                        "error": leg["error"],
-                        "error_kind": "infra" if infra else "deterministic"})
-            return out
-        legs[kernel] = leg
-        cells, iters = _scene_cells_iters(scene, scene_dir)
-        tag = "production" if kernel == "auto" else "jnp_reference"
-        out[tag] = {
+    cells, iters = _scene_cells_iters(scene, scene_dir)
+
+    def leg_row(leg):
+        return {
             "reynolds": leg["reynolds"],
             "compute_seconds": leg["compute_seconds"],
             "wall_seconds": leg["wall_seconds"],
             "glups": round(cells * iters / leg["compute_seconds"] / 1e9, 2),
         }
+
+    def fail_row(kernel, leg):
+        # Distinguish infrastructure loss (tunnelled-TPU worker
+        # crash/restart, unavailability — rerunnable) from a
+        # deterministic failure of the kernels themselves, so a
+        # flaky tunnel doesn't read as a correctness regression in
+        # the artifact (same split as bench.py's retry logic).
+        infra = any(s in leg["error"] for s in (
+            "UNAVAILABLE", "worker process crashed", "timed out",
+            "DEADLINE_EXCEEDED"))
+        out.update({"pass": False, "kernel": kernel,
+                    "error": leg["error"],
+                    "error_kind": "infra" if infra else "deterministic"})
+        return out
+
+    # Production leg first, with stall detection (round-3 verdict: a leg
+    # whose compute_seconds implied a rate ~50x below steady state was
+    # recorded as the scene's GLUPS — the tunnelled TPU's per-program
+    # first-execution stall, and degraded-session periods, land in the
+    # single-shot Compute phase). After the run, measure the shape's
+    # true steady-state rate (warm cache; untimed first execution);
+    # if the leg's implied rate is under half of it, re-run the leg up
+    # to ``stall_retries`` times and keep the fastest, annotating the
+    # row ``stall_dominated`` if it never recovers. Skipped on forced-
+    # CPU runs (tests), where there is no stall to detect and the
+    # steady measurement would dwarf the legs.
+    leg = _run_cli(scene, scene_dir, "auto", workdir, timeout,
+                   platform=platform)
+    if "error" in leg:
+        return fail_row("auto", leg)
+    steady = {} if platform == "cpu" else _steady_state_glups(
+        scene, scene_dir
+    )
+    ss = steady.get("steady_state_glups")
+    attempts = 0
+    while (ss and cells * iters / leg["compute_seconds"] / 1e9 < 0.5 * ss
+           and attempts < stall_retries):
+        attempts += 1
+        retry = _run_cli(scene, scene_dir, "auto", workdir, timeout,
+                         platform=platform)
+        if "error" in retry:
+            break  # keep the slow-but-complete run
+        if retry["compute_seconds"] < leg["compute_seconds"]:
+            leg = retry
+    legs["auto"] = leg
+    out["production"] = leg_row(leg)
+    out["production"].update(steady)
+    if ss:
+        implied = out["production"]["glups"]
+        out["production"]["stall_dominated"] = implied < 0.5 * ss
+        if attempts:
+            out["production"]["stall_retries"] = attempts
+
+    # The jnp leg of the big scenes runs minutes in ONE device
+    # execution, which the tunnelled TPU's transport reproducibly
+    # kills (worker crash at 16384x1024, ~145 s); --chunk-iters
+    # bounds each execution with an identical trajectory. The
+    # production leg stays unchunked — it is the timed artifact.
+    extra = (["--chunk-iters", str(jnp_chunk_iters)]
+             if jnp_chunk_iters else None)
+    leg = _run_cli(scene, scene_dir, "reference", workdir, timeout,
+                   platform=platform, extra_args=extra)
+    if "error" in leg:
+        return fail_row("reference", leg)
+    legs["reference"] = leg
+    out["jnp_reference"] = leg_row(leg)
 
     # Cross-kernel trajectory fingerprint: av_vels col 1 (one scalar per
     # timestep — the whole trajectory), final_state col 5 (|u| per cell),
@@ -209,6 +274,12 @@ def main(argv=None):
         help="merge into the existing artifact: re-run scenes replace "
              "their rows, other scenes' rows are kept",
     )
+    p.add_argument(
+        "--stall-retries", type=int, default=1, metavar="N",
+        help="re-run a production leg up to N times when its implied "
+             "rate is under half the measured steady-state GLUPS "
+             "(stall detection; 0 disables retries but still annotates)",
+    )
     args = p.parse_args(argv)
 
     results = {
@@ -216,9 +287,13 @@ def main(argv=None):
         "note": (
             "cross-kernel acceptance for the goldenless official scenes: "
             "production (auto Pallas) vs portable jnp trajectories over "
-            "the full scene length, check.py's max-%-diff formula; "
-            "single-shot compute times can absorb the tunnelled TPU's "
-            "first-execution stall (docs/PERF.md methodology #4)"
+            "the full scene length, check.py's max-%-diff formula. "
+            "production.steady_state_glups is the shape's warm rate via "
+            "the bench harness (untimed first execution); legs whose "
+            "single-shot compute implied <0.5x of it were retried and "
+            "are flagged stall_dominated if they never recovered "
+            "(the tunnelled TPU's first-execution stall, docs/PERF.md "
+            "methodology #4)"
         ),
         "scenes": [],
     }
@@ -228,7 +303,8 @@ def main(argv=None):
                 r = run_scene(scene, Path(args.scene_dir).resolve(), Path(td),
                               args.gate_pct, args.timeout,
                               platform=args.platform,
-                              jnp_chunk_iters=args.jnp_chunk_iters or None)
+                              jnp_chunk_iters=args.jnp_chunk_iters or None,
+                              stall_retries=args.stall_retries)
             except Exception as exc:  # record, keep going
                 r = {"scene": scene, "pass": False,
                      "error": f"{type(exc).__name__}: {exc}"[:500]}
