@@ -476,14 +476,14 @@ def run_simulation(
         cells0 = initial_state(params, dtype=params.dtype)
 
     if debug:
-        if mesh is not None:
-            raise ValueError("--debug is not supported with --devices > 1")
         return _run_debug(
             params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
             start_step, av0,
             checkpoint_every=checkpoint_every,
             checkpoint_file=checkpoint_file,
             trace_ctx=trace_ctx,
+            mesh=mesh,
+            pad_rows=pad_rows,
         )
 
     completed, preempted = iters, False
@@ -591,20 +591,49 @@ def run_simulation(
 def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
                start_step=0, av0=None,
                checkpoint_every=None, checkpoint_file=None,
-               trace_ctx=None):
+               trace_ctx=None, mesh=None, pad_rows=0):
     """Python-loop path printing the reference's -DDEBUG block per step
     (d2q9-bgk.c:198-202); resumes mid-trajectory when given a start step
     and av prefix, and honours periodic checkpointing like the jitted
-    path."""
+    path. Under a ``mesh`` it steps the sharded one-step chunk runner —
+    the reference's -DDEBUG block also worked under MPI
+    (d2q9-bgk.c:198-202; the per-step reduce is the debug path's
+    explicit cost)."""
     import contextlib
 
+    av = np.zeros((iters,), dtype=params.dtype) if av0 is None else av0
     # AOT-compile during init so the first-call compile (70-120 s on the
     # tunnelled TPU) lands in the init timer like every other path.
-    step = jax.jit(_select_step(kernel, params)).lower(
-        cells0, obs_dev
-    ).compile()
-    cells = cells0
-    av = np.zeros((iters,), dtype=params.dtype) if av0 is None else av0
+    if mesh is not None:
+        from lbm_tpu.parallel import halo
+
+        cells, obs_dev = halo.shard_inputs(
+            mesh, cells0, obs_dev, params=params, kernel=kernel
+        )
+        av_box = [jnp.asarray(av)]  # replicated on-device trajectory
+        chunk = halo.make_sharded_chunk(params, mesh, kernel, 1)
+        compiled = chunk.lower(
+            cells, obs_dev, inv_fluid, av_box[0], jnp.int32(0)
+        ).compile()
+
+        def do_step(cells, tt):
+            cells, av_box[0] = compiled(
+                cells, obs_dev, inv_fluid, av_box[0], jnp.int32(tt)
+            )
+            # Host fetch of one scalar: the per-step psum is already
+            # inside the chunk; av_vels[tt] is replicated.
+            return cells, float(av_box[0][tt])
+    else:
+        cells = cells0
+        step = jax.jit(_select_step(kernel, params)).lower(
+            cells0, obs_dev
+        ).compile()
+        inv = float(inv_fluid)
+
+        def do_step(cells, tt):
+            cells, tot_u = step(cells, obs_dev)
+            return cells, float(tot_u) * inv
+
     timers.stop("init")
     timers.start("compute")
     # The profiler trace covers the compute phase only, like every
@@ -616,8 +645,7 @@ def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
     )
     with (trace_ctx or contextlib.nullcontext)(), guard:
         for tt in range(start_step, iters):
-            cells, tot_u = step(cells, obs_dev)
-            av[tt] = np.asarray(tot_u) * inv_fluid
+            cells, av[tt] = do_step(cells, tt)
             print("==timestep: %d==" % tt)
             print("av velocity: %.12E" % av[tt])
             print("tot density: %.12E" % float(total_density(cells)))
@@ -632,9 +660,11 @@ def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
                 break
     timers.stop("compute")
     with timers.phase("collate"):
-        cells_np = np.asarray(cells, dtype=params.dtype)
+        cells_np = np.asarray(jax.device_get(cells), dtype=params.dtype)
         reynolds = float(calc_reynolds(params, cells, obs_dev))
     timers.stop("total")
+    if pad_rows:
+        cells_np = cells_np[:, pad_rows:, :]
     return SimulationResult(
         cells=cells_np,
         av_vels=av,
