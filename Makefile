@@ -8,7 +8,7 @@ AV_VELS_FILE ?= ./av_vels.dat
 REF_FINAL_STATE_FILE ?= /root/reference/check/128x128.final_state.dat
 REF_AV_VELS_FILE ?= /root/reference/check/128x128.av_vels.dat
 
-.PHONY: all native test check bench validate fullscenes mosaic clean
+.PHONY: all native test test-full check bench validate fullscenes mosaic clean
 
 all: native
 
@@ -16,8 +16,13 @@ all: native
 native:
 	$(PY) setup.py build_ext --inplace
 
+# Default fast profile (~8 min): pyproject addopts deselect `slow`.
 test:
 	$(PY) -m pytest tests/ -x -q
+
+# Full suite including the slow interpret-mode trajectory tests (~23 min).
+test-full:
+	$(PY) -m pytest tests/ -x -q -m ""
 
 check:
 	$(PY) -m lbm_tpu.check --ref-av-vels-file=$(REF_AV_VELS_FILE) \

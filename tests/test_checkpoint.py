@@ -186,6 +186,7 @@ def test_f64_pallas_rejected_cleanly():
         run_simulation(p64, obstacles, kernel="auto", n_iters=2)
 
 
+@pytest.mark.slow
 def test_sharded_pallas_odd_stride_checkpoint(tmp_path):
     """Sharded chunked runner with an odd stride: each 7-step chunk of
     the shard_map program runs as segments (halo._shard_segments inside
@@ -204,6 +205,7 @@ def test_sharded_pallas_odd_stride_checkpoint(tmp_path):
     np.testing.assert_allclose(base.av_vels, ck.av_vels, rtol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("stride", [8, 7])
 def test_pallas_fused_checkpoint_resume(tmp_path, stride):
     """Chunked checkpoint/resume through the fused pallas kernel: each

@@ -212,6 +212,7 @@ class TestFusedTwoStep:
         obstacles = generate_obstacles(p.nx, p.ny)
         self._check(p, obstacles)
 
+    @pytest.mark.slow
     def test_multiblock_forced_row_in_edge_channel(self, monkeypatch):
         """by=8 multi-block: block 0's prev-B edge row IS the forced row
         (global h-2), exercising the static owner factors; obstacles
@@ -293,7 +294,10 @@ class TestFusedTwoStep:
         assert plan_iters(wide, 20004) == (20000, 4)
         assert plan_iters(sq, 20001) == (20000, 1)
 
-    @pytest.mark.parametrize("iters,segs", [(3, [3]), (6, [4, 2])])
+    @pytest.mark.parametrize(
+        "iters,segs",
+        [(3, [3]), pytest.param(6, [4, 2], marks=pytest.mark.slow)],
+    )
     def test_short_indivisible_iters(self, iters, segs):
         """iters=3 (shorter than one paired pass, no depth divides it)
         is the genuine single-segment fallback: the whole run steps the
@@ -345,6 +349,7 @@ def test_supports_tpu_grid_and_resolution(monkeypatch):
         runner._resolve_kernel("pallas", p_odd)
 
 
+@pytest.mark.slow
 def test_depth8_opt_in_matches_reference(monkeypatch):
     """Depth 8 is available behind LBM_PALLAS_DEPTH (measured slower on
     the chip, so not a default) and must stay correct."""
@@ -402,6 +407,7 @@ def test_depth16_opt_in_matches_reference(monkeypatch):
     np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_omega_absorbed_equilibrium_optout(monkeypatch):
     """The omega-absorbed relax (LBM_OMEGA_EQ=1 opt-in; default off,
     measured -4..-7% on TPU — docs/PERF.md) is a pure

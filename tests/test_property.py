@@ -32,7 +32,12 @@ def random_scene(seed, ny=32, nx=64, density_frac=0.1):
     return params, obstacles
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize(
+    "seed",
+    [pytest.param(0, marks=pytest.mark.slow), 1,
+     pytest.param(2, marks=pytest.mark.slow),
+     pytest.param(3, marks=pytest.mark.slow)],
+)
 def test_random_scene_all_paths_agree(seed):
     params, obstacles = random_scene(seed)
     inv = num_non_obstacles_r(obstacles)
@@ -56,6 +61,7 @@ def test_random_scene_all_paths_agree(seed):
     np.testing.assert_allclose(base_a, shard.av_vels[:params.max_iters], rtol=2e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [4, 5])
 def test_random_scene_resident_agrees(seed, monkeypatch):
     """Random scenes through the VMEM-resident kernel (forced on in
@@ -81,7 +87,9 @@ def test_random_scene_resident_agrees(seed, monkeypatch):
         np.testing.assert_allclose(base_a, np.asarray(got_a), rtol=5e-4)
 
 
-@pytest.mark.parametrize("seed", [7, 8])
+@pytest.mark.parametrize(
+    "seed", [7, pytest.param(8, marks=pytest.mark.slow)]
+)
 def test_random_wide_scene_transposed(seed):
     """Wide random scenes run through TransposedCarryStep."""
     from lbm_tpu.ops.pallas_fused import TransposedCarryStep, make_carry_step

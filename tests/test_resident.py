@@ -274,6 +274,7 @@ def test_resident_run_simulation_with_tail(monkeypatch):
     assert np.isclose(base.reynolds, got.reynolds, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_resident_checkpoint_resume(monkeypatch, tmp_path):
     """Chunked + resumed execution re-plans each chunk through the
     resident selector; the resumed trajectory must equal the one-shot

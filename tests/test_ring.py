@@ -102,7 +102,9 @@ def test_ring_gating(monkeypatch):
         rr.ring_prefs(128, 1024, transposed=False)
 
 
-@pytest.mark.parametrize("n_dev", [2, 8])
+@pytest.mark.parametrize(
+    "n_dev", [2, pytest.param(8, marks=pytest.mark.slow)]
+)
 def test_ring_matches_unsharded(n_dev, monkeypatch):
     """Full sharded ring simulation == unsharded reference trajectory;
     the planner must actually have selected the ring impl. A shrunk
@@ -127,6 +129,7 @@ def test_ring_matches_unsharded(n_dev, monkeypatch):
     np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_ring_forced_row_on_shard_edge(monkeypatch):
     """ny=16 over 8 shards -> local_ny=2, the forced row ny-2 is the top
     shard's row 0 — its SOUTH seam. The neighbour below must receive
@@ -147,6 +150,7 @@ def test_ring_forced_row_on_shard_edge(monkeypatch):
     np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_ring_transposed_wide_grid(monkeypatch):
     """Wide grids shard the transposed lattice over physical x; the
     forced line is a lane column in every shard (static lane forcing,
@@ -181,6 +185,7 @@ def test_ring_single_shard_closes_on_itself(monkeypatch):
     np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_ring_main_plus_tail_segments(monkeypatch):
     """Iteration counts no ring granularity divides run a ring main
     segment plus a re-planned blocked tail inside one shard_map
@@ -202,6 +207,7 @@ def test_ring_main_plus_tail_segments(monkeypatch):
     assert (np.asarray(got.av_vels) != 0).all()
 
 
+@pytest.mark.slow
 def test_ring_checkpoint_resume(monkeypatch, tmp_path):
     """Chunked checkpoint/resume through the ring path: each chunk of
     the shard_map program re-plans its segments (make_sharded_chunk via
@@ -235,7 +241,9 @@ def test_ring_checkpoint_resume(monkeypatch, tmp_path):
     np.testing.assert_allclose(base.av_vels, resumed.av_vels, rtol=1e-4)
 
 
-@pytest.mark.parametrize("n_dev", [2, 8])
+@pytest.mark.parametrize(
+    "n_dev", [2, pytest.param(8, marks=pytest.mark.slow)]
+)
 def test_ring_inplace_matches_unsharded(n_dev, monkeypatch):
     """LBM_RESIDENT_INPLACE=1 forces the single-buffer in-place mode
     (production trigger: ~75-MB shards, e.g. 16384x1024 over 8). The
@@ -284,6 +292,7 @@ def test_ring_inplace_two_blocks(monkeypatch):
     np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_ring_inplace_forced_row_on_shard_edge(monkeypatch):
     """In-place mode with the forced row ny-2 as the top shard's south
     seam (local_ny=2) — the saved register rows and staged seams must
@@ -304,6 +313,7 @@ def test_ring_inplace_forced_row_on_shard_edge(monkeypatch):
     np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_ring_inplace_transposed(monkeypatch):
     """In-place mode on the transposed (x-sharded) layout: static lane
     forcing applied per-load, saved rows included."""

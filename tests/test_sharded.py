@@ -187,6 +187,7 @@ def test_transposed_sharding_with_scattered_obstacles():
     np.testing.assert_allclose(base.av_vels, shard.av_vels, rtol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_dev,iters", [(4, 12), (2, 10)])
 def test_sharded_fused_two_step_rows(n_dev, iters, monkeypatch):
     """Sharded temporal fusion (pallas_fused._kernel_fused, ring=False): with
@@ -218,6 +219,7 @@ def test_sharded_fused_two_step_rows(n_dev, iters, monkeypatch):
     np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_fused_two_step_transposed(monkeypatch):
     """Wide-grid x-sharding with the fused kernel: static lane forcing
     applies to every copy, no ACC channels needed."""
