@@ -165,71 +165,78 @@ def main() -> int:
     deadline_total = time.monotonic() + float(
         os.environ.get("LBM_BENCH_BUDGET_S", "4200")
     )
-    headline = None
-    last_error = None
-    same_error = 0
-    hard_errors = 0
-    no_tpu = False
-    attempt = 0
-    while time.monotonic() < deadline_first:
-        probe = _tpu_probe()
-        if probe == "no-tpu":
-            # jax works but no TPU backend exists here — retrying
-            # cannot help; fall straight to the honest CPU fallback.
-            no_tpu = True
-            break
-        if probe == "tpu":
-            remaining = deadline_first - time.monotonic()
-            line = _stress_line(
-                "GLUPS_1024x1024", 1024, 1024, 10000, kernel,
-                BASELINE_GLUPS, repeats=3,
-                # Cap per-attempt timeout so one compile stall cannot
-                # eat the whole first-line budget; floor it above the
-                # documented worst-case compile+first-exec (~240 s).
-                timeout_s=min(780.0, max(remaining, 300.0)),
-            )
-            if "value" in line:
-                headline = line
-                break
-            err = line.get("error", "no output")
-            # Compare error IDENTITY, not text: per-run paths/addresses/
-            # timings vary between attempts of the same deterministic
-            # failure (review finding — a varying message used to retry
-            # the full probe loop for a failure that was deterministic
-            # from attempt 1).
-            kind = _error_kind(err)
-            same_error = same_error + 1 if kind == last_error else 1
-            last_error = kind
-            if "timeout" not in kind:
-                hard_errors += 1
-            print(json.dumps({"attempt": attempt, "error": err[:300]}),
-                  file=sys.stderr, flush=True)
-            if "timeout" not in kind and (same_error >= 2 or hard_errors >= 4):
-                break  # deterministic failure; retrying cannot help
-        attempt += 1
-        if deadline_first - time.monotonic() > 30:
-            time.sleep(30)
+    def acquire_headline(deadline):
+        """Probe-and-measure until one 1024^2 measurement lands or the
+        deadline passes; returns ``(headline_or_None, state)``. State
+        classifies the miss: ``no_tpu`` (no TPU backend exists here —
+        retrying cannot conjure one), ``deterministic`` (TPU ALIVE but
+        the measurement failed reproducibly — a real regression), or
+        plain unavailability (probe/measurement timeouts)."""
+        st = {"last_error": None, "no_tpu": False, "deterministic": False}
+        same_error = 0
+        hard_errors = 0
+        attempt = 0
+        while time.monotonic() < deadline:
+            probe = _tpu_probe()
+            if probe == "no-tpu":
+                st["no_tpu"] = True
+                return None, st
+            if probe == "tpu":
+                remaining = deadline - time.monotonic()
+                line = _stress_line(
+                    "GLUPS_1024x1024", 1024, 1024, 10000, kernel,
+                    BASELINE_GLUPS, repeats=3,
+                    # Cap per-attempt timeout so one compile stall cannot
+                    # eat the whole budget; floor it above the documented
+                    # worst-case compile+first-exec (~240 s).
+                    timeout_s=min(780.0, max(remaining, 300.0)),
+                )
+                if "value" in line:
+                    return line, st
+                err = line.get("error", "no output")
+                # Compare error IDENTITY, not text: per-run paths/
+                # addresses/timings vary between attempts of the same
+                # deterministic failure (review finding).
+                kind = _error_kind(err)
+                same_error = same_error + 1 if kind == st["last_error"] else 1
+                st["last_error"] = kind
+                if "timeout" not in kind:
+                    hard_errors += 1
+                print(json.dumps({"attempt": attempt, "error": err[:300]}),
+                      file=sys.stderr, flush=True)
+                if "timeout" not in kind and (same_error >= 2
+                                              or hard_errors >= 4):
+                    st["deterministic"] = True
+                    return None, st
+            attempt += 1
+            if deadline - time.monotonic() > 30:
+                time.sleep(30)
+        return None, st
+
+    def fail_line(st):
+        # The TPU was ALIVE and the measurement failed anyway (compile
+        # error, diverged trajectory): a real regression, not
+        # unavailability — report it as a failure (no "value" key,
+        # nonzero exit) instead of letting a CPU fallback number
+        # masquerade as the headline (review finding).
+        print(json.dumps({
+            "metric": "GLUPS_1024x1024",
+            "error": f"tpu_measurement_failed: {st['last_error'][:240]}",
+        }))
+        return 1
+
+    headline, st = acquire_headline(deadline_first)
     if headline is None:
-        if last_error and "timeout" not in last_error and not no_tpu:
-            # The TPU was ALIVE and the measurement failed anyway
-            # (compile error, diverged trajectory): that is a real
-            # regression, not unavailability — report it as a failure
-            # (no "value" key, nonzero exit) instead of letting a CPU
-            # fallback number masquerade as the headline (review
-            # finding).
-            print(json.dumps({
-                "metric": "GLUPS_1024x1024",
-                "error": f"tpu_measurement_failed: {last_error[:240]}",
-            }))
-            return 1
+        if st["deterministic"]:
+            return fail_line(st)
         import jax
 
         jax.config.update("jax_platforms", "cpu")
         glups, dt = bench(kernel="reference", iters=200, repeats=1)
-        if no_tpu:
+        if st["no_tpu"]:
             note = "no_tpu_backend_cpu_fallback"
-        elif last_error:
-            note = f"tpu_timeout_cpu_fallback: {last_error[:200]}"
+        elif st["last_error"]:
+            note = f"tpu_timeout_cpu_fallback: {st['last_error'][:200]}"
         else:
             note = "tpu_unavailable_cpu_fallback"
         print(json.dumps({
@@ -238,8 +245,20 @@ def main() -> int:
             "unit": "GLUPS",
             "vs_baseline": round(glups / BASELINE_GLUPS, 4),
             "note": note,
-        }))
-        return 0
+        }), flush=True)
+        if st["no_tpu"]:
+            return 0
+        # The tunnelled TPU drops out for stretches of an hour+
+        # (CLAUDE.md); the fallback line above already guarantees a
+        # parsable headline, so spend the REST of the total budget
+        # re-probing — a recovered TPU then replaces the fallback as
+        # the driver's last JSON line (review finding: the old flow
+        # returned here with ~55 min of LBM_BENCH_BUDGET_S unused).
+        headline, st = acquire_headline(deadline_total)
+        if headline is None:
+            if st["deterministic"]:
+                return fail_line(st)
+            return 0  # the CPU fallback stays the last (honest) line
 
     # FIRST: the headline, flushed immediately — from here on, a driver
     # kill at any point still leaves a real TPU number in the output.

@@ -385,13 +385,18 @@ def resolve_mesh(params: Params, obstacles, n_devices: int, kernel: str,
     from lbm_tpu.parallel.decomp import largest_divisor_leq, make_mesh
 
     notes = []
-    visible = len(jax.devices())
+    # Honour the backend override for the device lookup too: bare
+    # jax.devices() INITIALISES the default backend, and a down axon
+    # tunnel then hangs the caller (CLAUDE.md) — the exact hazard the
+    # backend= escape hatch exists to avoid.
+    devices = jax.devices(backend) if backend else jax.devices()
+    visible = len(devices)
     usable = min(n_devices, visible)
     if usable != n_devices:
         notes.append(f"note: using {usable} devices ({visible} visible)")
     if usable <= 1:
         return None, notes
-    mesh = make_mesh(usable)
+    mesh = make_mesh(usable, devices=devices)
     try:
         plan_row_padding(params, obstacles, mesh, kernel, backend=backend)
     except ValueError:

@@ -96,8 +96,16 @@ def _run_cli(scene: str, scene_dir: Path, kernel: str, workdir: Path,
         *(extra_args or []),
     ]
     t0 = time.perf_counter()
-    res = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
-                         timeout=timeout, env=_child_env(platform))
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                             timeout=timeout, env=_child_env(platform))
+    except subprocess.TimeoutExpired:
+        # Return (don't raise) so a timed-out STALL RETRY falls into the
+        # "keep the slow-but-complete run" branch instead of aborting the
+        # scene, and a timed-out first leg gets an infra-classified row
+        # ("timed out" is in fail_row's infra markers).
+        return {"error": f"CLI leg timed out after {timeout:.0f}s",
+                "wall_seconds": round(time.perf_counter() - t0, 2)}
     wall = time.perf_counter() - t0
     if res.returncode != 0:
         return {"error": res.stderr[-1000:], "wall_seconds": round(wall, 2)}

@@ -150,10 +150,10 @@ def test_debug_with_mesh_matches_unsharded(capsys):
 
 def test_debug_with_mesh_nondivisor_padding(capsys):
     """--debug composes with non-divisor padding: the pad rows are
-    obstacles, so av velocity and total density match an unsharded
-    debug run on the padded scene's INTERIOR (pad rows carry
-    equilibrium density, so tot density differs by a constant; av does
-    not)."""
+    obstacles and EXCLUDED from the printed tot density (they are not
+    part of the scene, and the pad row adjacent to the wall is not
+    exactly at rest), so both debug lines match an unsharded debug
+    run of the same scene."""
     from lbm_tpu.parallel.decomp import make_mesh
 
     p = small_params(ny=46, max_iters=3)
@@ -161,11 +161,18 @@ def test_debug_with_mesh_nondivisor_padding(capsys):
     res = run_simulation(
         p, obstacles, kernel="reference", debug=True, mesh=make_mesh(3)
     )
-    capsys.readouterr()
-    base = run_simulation(p, obstacles, kernel="reference")
+    out = capsys.readouterr().out
+    base = run_simulation(p, obstacles, kernel="reference", debug=True)
+    base_out = capsys.readouterr().out
     assert res.cells.shape == base.cells.shape
     np.testing.assert_allclose(base.av_vels, res.av_vels, rtol=1e-5)
     np.testing.assert_allclose(base.cells, res.cells, rtol=2e-5, atol=5e-8)
+    dens = [float(l.split()[-1]) for l in out.splitlines()
+            if l.startswith("tot density")]
+    base_dens = [float(l.split()[-1]) for l in base_out.splitlines()
+                 if l.startswith("tot density")]
+    assert len(dens) == len(base_dens) == 3
+    np.testing.assert_allclose(dens, base_dens, rtol=1e-6)
 
 
 def test_f64_pallas_rejected_cleanly():

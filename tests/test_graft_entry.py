@@ -16,11 +16,13 @@ import numpy as np
 import pytest
 
 REPO = str(pathlib.Path(__file__).resolve().parents[1])
+# Module-level so EITHER test can import __graft_entry__ when run in
+# isolation (pytest only auto-inserts tests/, not the repo root).
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 
 def test_entry_returns_jittable_step_and_args():
-    if REPO not in sys.path:
-        sys.path.insert(0, REPO)
     import __graft_entry__ as g
 
     fn, args = g.entry()

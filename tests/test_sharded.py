@@ -477,3 +477,27 @@ class TestResolveMesh:
         mesh, notes = resolve_mesh(p, walls, 64, "reference")
         assert mesh is not None and mesh.shape["y"] == 8
         assert any("8 devices" in n and "visible" in n for n in notes)
+
+    def test_backend_override_reaches_device_lookup(self, monkeypatch):
+        """The backend= escape hatch must cover the jax.devices() call
+        too: bare jax.devices() INITIALISES the default backend, and a
+        down axon tunnel then hangs the caller (CLAUDE.md; review
+        finding)."""
+        import jax
+
+        from lbm_tpu.parallel import halo
+
+        seen = []
+        real = jax.devices
+
+        def record(backend=None):
+            seen.append(backend)
+            return real("cpu")
+
+        monkeypatch.setattr(halo.jax, "devices", record)
+        p = small_params(ny=64, nx=64)
+        walls = generate_obstacles(p.nx, p.ny)
+        mesh, _ = halo.resolve_mesh(p, walls, 4, "reference",
+                                    backend="cpu")
+        assert mesh is not None and mesh.shape["y"] == 4
+        assert seen == ["cpu"]

@@ -152,11 +152,12 @@ def test_bench_half_alive_tunnel_is_wall_clock_bounded(
     monkeypatch, capsys
 ):
     """A half-alive tunnel (probe succeeds, the big program times out
-    every attempt) must be bounded by the FIRST-LINE wall-clock budget
-    (900 s default), not by open-ended attempts — the round-3
+    every attempt) must print the CPU-fallback headline inside the
+    FIRST-LINE wall-clock budget (900 s default) — the round-3
     postmortem: the driver's outer timeout killed the bench before any
-    line printed, so everything before the first print must fit well
-    inside the driver window."""
+    line printed — and then keep re-probing within the TOTAL budget
+    (the tunnel can be down an hour+ and recover, CLAUDE.md), with the
+    whole run bounded by LBM_BENCH_BUDGET_S."""
     sys.path.insert(0, str(REPO))
     import bench
 
@@ -177,11 +178,52 @@ def test_bench_half_alive_tunnel_is_wall_clock_bounded(
     rc = bench.main()
     assert rc == 0
     # First-line budget 900 s: one 780 s-capped attempt + one
-    # 300 s-floored remainder attempt, then the deadline stops the
-    # loop and the CPU fallback prints the (honest) headline.
-    assert calls == [780.0, 300.0], calls
-    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 300 s-floored remainder attempt, then the CPU fallback prints the
+    # (honest) headline and the re-probe phase spends the rest of the
+    # 4200 s total budget in 780 s-capped attempts. Total wall-clock is
+    # bounded by the budget (+ one attempt's overshoot at most).
+    assert calls == [780.0, 300.0] + [780.0] * 4, calls
+    assert clock["t"] <= 4200.0 + 780.0
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    # The fallback printed BEFORE the re-probe phase and stays the last
+    # line when the TPU never recovers.
+    line = json.loads(out_lines[-1])
     assert line["note"].startswith("tpu_timeout_cpu_fallback")
+    assert len(out_lines) == 1
+
+
+def test_bench_tpu_recovery_after_fallback_replaces_headline(
+    monkeypatch, capsys
+):
+    """A tunnel outage longer than the first-line budget prints the CPU
+    fallback, but a TPU that recovers within the TOTAL budget replaces
+    it: the re-probe phase lands a real measurement and the final line
+    (the one the driver records) is the TPU headline."""
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    monkeypatch.setattr(bench, "_tpu_probe", lambda *a, **k: "tpu")
+    clock = {"t": 0.0}
+    monkeypatch.setattr(bench.time, "monotonic", lambda: clock["t"])
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    def fake_stress(metric, nx, ny, iters, kernel, base, **k):
+        if clock["t"] < 2000.0:  # "recovers" mid-total-budget
+            clock["t"] += k["timeout_s"]
+            return {"metric": metric, "error": "timeout after 780s"}
+        clock["t"] += 60.0
+        return {"metric": metric, "value": 25.0, "unit": "GLUPS",
+                "vs_baseline": round(25.0 / base, 4)}
+
+    monkeypatch.setattr(bench, "_stress_line", fake_stress)
+    monkeypatch.setattr(bench, "bench", lambda **k: (0.01, 1.0))
+    rc = bench.main()
+    assert rc == 0
+    lines = [json.loads(s) for s in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["note"].startswith("tpu_timeout_cpu_fallback")
+    assert lines[-1]["metric"] == "GLUPS_1024x1024"
+    assert lines[-1]["value"] == 25.0 and "note" not in lines[-1]
 
 
 def test_bench_headline_prints_immediately_and_repeats_last(
@@ -368,6 +410,27 @@ def test_full_scenes_script(tmp_path):
     data = json.loads(out.read_text())
     assert {s["scene"] for s in data["scenes"]} == {"32x16", "other"}
     assert sum(s["scene"] == "32x16" for s in data["scenes"]) == 1
+
+
+def test_full_scenes_cli_leg_timeout_is_returned_not_raised(monkeypatch):
+    """A CLI leg that hits its subprocess timeout must come back as an
+    error row (classified infra by fail_row's 'timed out' marker), not
+    raise — a raising STALL RETRY would otherwise abort the scene and
+    discard a complete, passing production leg (review finding)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "fs_timeout", REPO / "scripts/full_scenes.py")
+    fs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fs)
+
+    def raise_timeout(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="lbm", timeout=5)
+
+    monkeypatch.setattr(fs.subprocess, "run", raise_timeout)
+    leg = fs._run_cli("32x16", Path("/nonexistent"), "auto",
+                      Path("/tmp"), timeout=5.0, platform="cpu")
+    assert "timed out" in leg["error"]
 
 
 def test_full_scenes_child_env_tpu_alias(monkeypatch):
