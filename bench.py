@@ -7,11 +7,13 @@ The headline JSON {"metric", "value", "unit", "vs_baseline"} is printed
 the MOMENT the first successful measurement lands (round-3 postmortem:
 an outer driver timeout killed the old end-of-run print before any line
 appeared — BENCH_r03.json rc=124, empty). On TPU, secondary JSON lines
-then follow for the reference's stress grids — 16384x1024 (the
-weak-scaling north-star shape, vs the same 6.2 GLUPS cluster rate) and
-131072x128 (vs the reference's 4-node hybrid: 445.66 s / 20000 iters =
-0.753 GLUPS, report_mpi/report.tex:859) — and the headline is repeated
-as the final line (the driver records the last complete JSON line).
+then follow for the reference's stress grids — 131072x128 first (vs the
+reference's 4-node hybrid: 445.66 s / 20000 iters = 0.753 GLUPS,
+report_mpi/report.tex:859), then 16384x1024 (the weak-scaling
+north-star shape, vs the same 6.2 GLUPS cluster rate) — and the
+headline is re-printed after EVERY stress line, so the driver's
+last-complete-JSON-line parse lands on the 1024^2 headline no matter
+where a kill falls (BENCH_r04 rc=124 recorded a stress row instead).
 
 Measurement rules for the tunnelled TPU (docs/PERF.md): state is created
 on-device (host uploads run ~35 MB/s), the freshly compiled program gets
@@ -34,9 +36,13 @@ BASELINE_GLUPS_WIDE = 0.753  # 131072x128: 4-node hybrid, 445.66 s / 20000
 
 # Stress grids (short-iteration steady-state rate): the reference's
 # hardest cases, where >=600 MB states used to run at ~half rate.
+# 131072x128 runs FIRST: when the driver's window truncates phase 2,
+# the grid with the stalest driver capture should be the one that made
+# it out (VERDICT r4 — the r04 kill cost exactly this row, leaving
+# r02's 27.75 as its last driver evidence).
 STRESS_GRIDS = [
-    ("GLUPS_16384x1024", 16384, 1024, 2000, BASELINE_GLUPS),
     ("GLUPS_131072x128", 131072, 128, 2000, BASELINE_GLUPS_WIDE),
+    ("GLUPS_16384x1024", 16384, 1024, 2000, BASELINE_GLUPS),
 ]
 
 
@@ -162,8 +168,12 @@ def main() -> int:
     deadline_first = time.monotonic() + float(
         os.environ.get("LBM_BENCH_FIRST_BUDGET_S", "900")
     )
+    # 2700 s default: the driver's window killed two rounds' benches at
+    # the old 4200 s (BENCH_r03/r04 rc=124), so the budget must fit
+    # INSIDE the window with margin — outage-retry headroom is phase 1's
+    # job, not a licence to overrun. Manual runs override via the env.
     deadline_total = time.monotonic() + float(
-        os.environ.get("LBM_BENCH_BUDGET_S", "4200")
+        os.environ.get("LBM_BENCH_BUDGET_S", "2700")
     )
     def acquire_headline(deadline):
         """Probe-and-measure until one 1024^2 measurement lands or the
@@ -264,7 +274,11 @@ def main() -> int:
     # kill at any point still leaves a real TPU number in the output.
     print(json.dumps(headline), flush=True)
 
-    # Phase 2: stress grids within the remaining total budget.
+    # Phase 2: stress grids within the remaining total budget. The
+    # headline is RE-PRINTED after every stress line (not just at the
+    # end): the driver records the last complete JSON line, so a kill
+    # landing anywhere in phase 2 still parses as the 1024^2 headline
+    # (VERDICT r4 — the r04 kill left a stress row as "parsed").
     for metric, nx, ny, iters, base in STRESS_GRIDS:
         remaining = deadline_total - time.monotonic()
         if remaining < 120:
@@ -275,11 +289,7 @@ def main() -> int:
         line = _stress_line(metric, nx, ny, iters, kernel, base,
                             timeout_s=min(900.0, remaining))
         print(json.dumps(line), flush=True)
-
-    # LAST line = the headline again, so the driver's last-JSON-line
-    # parse records the 1024^2 headline in the clean-exit case too
-    # (round 2 recorded the 131072x128 stress line as "parsed").
-    print(json.dumps(headline), flush=True)
+        print(json.dumps(headline), flush=True)
     return 0
 
 

@@ -498,7 +498,14 @@ def resolve_mesh(params: Params, obstacles, n_devices: int, kernel: str,
             "pallas kernel was requested without boundary walls; "
             "divisor fallback)"
         )
-        mesh = make_mesh(fallback) if fallback > 1 else None
+        # Pass the already-resolved devices: a bare make_mesh(fallback)
+        # would call jax.devices() — initialising the default backend
+        # (the down-tunnel hang hazard the backend= override exists to
+        # avoid) and potentially building the mesh over different
+        # devices than the probe used (ADVICE r4).
+        mesh = (
+            make_mesh(fallback, devices=devices) if fallback > 1 else None
+        )
     return mesh, notes
 
 

@@ -180,10 +180,11 @@ def test_bench_half_alive_tunnel_is_wall_clock_bounded(
     # First-line budget 900 s: one 780 s-capped attempt + one
     # 300 s-floored remainder attempt, then the CPU fallback prints the
     # (honest) headline and the re-probe phase spends the rest of the
-    # 4200 s total budget in 780 s-capped attempts. Total wall-clock is
+    # 2700 s total budget (shrunk in round 5 to fit inside the driver's
+    # window — r03/r04 rc=124) in capped attempts. Total wall-clock is
     # bounded by the budget (+ one attempt's overshoot at most).
-    assert calls == [780.0, 300.0] + [780.0] * 4, calls
-    assert clock["t"] <= 4200.0 + 780.0
+    assert calls == [780.0, 300.0, 780.0, 780.0, 300.0], calls
+    assert clock["t"] <= 2700.0 + 780.0
     out_lines = capsys.readouterr().out.strip().splitlines()
     # The fallback printed BEFORE the re-probe phase and stays the last
     # line when the TPU never recovers.
@@ -226,14 +227,16 @@ def test_bench_tpu_recovery_after_fallback_replaces_headline(
     assert lines[-1]["value"] == 25.0 and "note" not in lines[-1]
 
 
-def test_bench_headline_prints_immediately_and_repeats_last(
+def test_bench_headline_prints_immediately_and_after_every_stress_line(
     monkeypatch, capsys
 ):
-    """Round-4 bench contract: the headline JSON is flushed the moment
-    the first measurement succeeds (a later driver kill still leaves a
-    parsable number), stress lines follow, and the headline repeats as
-    the FINAL line so a last-JSON-line parse records the 1024^2 number
-    (round 2's parsed value was the 131072x128 stress line)."""
+    """Round-5 bench contract (VERDICT r4 #1): the headline JSON is
+    flushed the moment the first measurement succeeds, and is RE-PRINTED
+    after every stress line — so the driver's last-complete-JSON-line
+    parse lands on the 1024^2 headline no matter where a kill falls
+    (r04's kill mid-phase-2 recorded a stress row as "parsed"). The
+    stress order puts 131072x128 first: when the window truncates
+    phase 2, the grid with the stalest driver capture survives."""
     sys.path.insert(0, str(REPO))
     import bench
 
@@ -250,9 +253,17 @@ def test_bench_headline_prints_immediately_and_repeats_last(
     lines = [json.loads(s) for s in
              capsys.readouterr().out.strip().splitlines()]
     assert lines[0]["metric"] == "GLUPS_1024x1024"
+    # Kill-anywhere property: every truncation of the output that ends
+    # on a complete line ends on either the headline or a stress line
+    # IMMEDIATELY preceded by... stronger: headline at every even index,
+    # one stress line between consecutive headlines, last line headline.
     assert lines[-1] == lines[0]
-    stress = {ln["metric"] for ln in lines[1:-1]}
-    assert stress == {m for m, *_ in bench.STRESS_GRIDS}
+    assert [ln for i, ln in enumerate(lines) if i % 2 == 0] == (
+        [lines[0]] * (len(bench.STRESS_GRIDS) + 1)
+    )
+    stress_order = [ln["metric"] for i, ln in enumerate(lines) if i % 2]
+    assert stress_order == [m for m, *_ in bench.STRESS_GRIDS]
+    assert stress_order[0] == "GLUPS_131072x128"
 
 
 def test_bench_no_tpu_backend_goes_straight_to_cpu_fallback(
