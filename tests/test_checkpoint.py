@@ -241,6 +241,73 @@ def test_pallas_fused_checkpoint_resume(tmp_path, stride):
     np.testing.assert_allclose(full.av_vels, resumed.av_vels, rtol=1e-4)
 
 
+def test_ring_preemption_padding_checkpoint(tmp_path, monkeypatch):
+    """Checkpoint x padding x ring composed (VERDICT r4 #3): with
+    LBM_SHARD_RESIDENT=1 the sharded chunked planner silently selects
+    the resident-ring impls (halo._shard_segments), so checkpointed
+    ring runs are a reachable production configuration. A wall-bounded
+    NON-DIVISOR scene (ny=60 over 8 devices pads to 64) runs chunked +
+    checkpointed on the 8-virtual-device CPU mesh, is SIGTERM-preempted
+    at the first chunk boundary, and resumes to the uninterrupted
+    unsharded trajectory — the reference's implicit guarantee that
+    decomposition never changes results (d2q9-bgk.c:395-447). The
+    divisor composition without a kill is test_ring.py's
+    test_ring_checkpoint_resume."""
+    import os
+    import signal
+
+    from lbm_tpu import runner as runner_mod
+    from lbm_tpu.parallel import resident_ring as rr
+    from lbm_tpu.parallel.decomp import make_mesh
+    from lbm_tpu.parallel.halo import (
+        _shard_segments,
+        pad_scene,
+        plan_padding_mode,
+        plan_sharding,
+    )
+
+    monkeypatch.setenv("LBM_SHARD_RESIDENT", "1")
+    monkeypatch.setenv("LBM_RESIDENT_STEPS", "4")
+    mesh = make_mesh(8)
+    p = small_params(ny=60, nx=32, max_iters=24)
+    obstacles = generate_obstacles(p.nx, p.ny)
+
+    # The planner composes padding AND the ring: ny=60 pads to 64
+    # (wall-shielded), and the padded 8-row shards select RingShardImpl
+    # for each 8-step chunk.
+    mode, pad = plan_padding_mode(p, obstacles, mesh, "pallas")
+    assert (mode, pad) == ("wall", 4)
+    p_pad, obs_pad = pad_scene(p, obstacles, pad)
+    transposed, decomp, _, _ = plan_sharding(p_pad, mesh, "pallas")
+    segs = _shard_segments(p_pad, decomp, "pallas", 8, transposed)
+    assert isinstance(segs[0][0], rr.RingShardImpl)
+
+    base = run_simulation(p, obstacles, kernel="reference")
+
+    f = tmp_path / "ck.npz"
+    real_save = runner_mod.save_checkpoint
+
+    def save_and_preempt(path, step, cells, av):
+        real_save(path, step, cells, av)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    monkeypatch.setattr(runner_mod, "save_checkpoint", save_and_preempt)
+    res = run_simulation(p, obstacles, kernel="pallas", mesh=mesh,
+                         checkpoint_every=8, checkpoint_file=f)
+    monkeypatch.setattr(runner_mod, "save_checkpoint", real_save)
+    assert res.preempted and res.completed_steps == 8
+    # The flushed checkpoint holds the PADDED lattice of the writer.
+    assert load_checkpoint(f)[1].shape == (9, 64, p.nx)
+
+    resumed = run_simulation(p, obstacles, kernel="pallas", mesh=mesh,
+                             resume_from=f)
+    assert not resumed.preempted and resumed.completed_steps == 24
+    assert resumed.cells.shape == base.cells.shape
+    np.testing.assert_allclose(base.cells, resumed.cells, rtol=2e-5,
+                               atol=5e-8)
+    np.testing.assert_allclose(base.av_vels, resumed.av_vels, rtol=1e-4)
+
+
 def test_checkpoint_every_requires_file():
     """checkpoint_every without checkpoint_file used to silently take
     the chunked path and save nothing (review finding r3); now it is a
