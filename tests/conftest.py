@@ -45,3 +45,46 @@ def obstacles_128(params_128):
 @pytest.fixture(scope="session")
 def golden_av_vels_128():
     return np.loadtxt(CHECK / "128x128.av_vels.dat", usecols=[1])
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Record each passing FULL-profile run (`make test-full`, i.e.
+    `pytest tests/ -m ""`) in docs/artifacts/test_full_record.json —
+    VERDICT r4 #4: the fast profile is re-proven every round, but
+    nothing recorded when the full 26-slow-test suite last passed.
+    Partial invocations (per-file, -k, fast profile) are not records of
+    the full suite and are skipped."""
+    if (
+        exitstatus != 0
+        or config.getoption("markexpr")
+        or config.getoption("keyword")
+        or [pathlib.Path(a).name for a in config.args] != ["tests"]
+    ):
+        return
+    stats = terminalreporter.stats
+    counts = {k: len(stats.get(k, [])) for k in
+              ("passed", "failed", "skipped", "deselected")}
+    if counts["deselected"] or not counts["passed"]:
+        return
+    import datetime
+    import json
+    import time as _time
+
+    record = {
+        "date": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "profile": "full",
+        **counts,
+        "duration_s": round(_time.time() - terminalreporter._sessionstarttime, 1),
+    }
+    out = pathlib.Path(__file__).parent.parent / "docs" / "artifacts" \
+        / "test_full_record.json"
+    try:
+        history = json.loads(out.read_text()) if out.exists() else []
+        history = (history + [record])[-10:]
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(history, indent=2) + "\n")
+        terminalreporter.write_line(f"full-suite record -> {out}")
+    except OSError:
+        pass  # a read-only checkout must not fail the suite
