@@ -127,10 +127,11 @@ def _main(argv: list[str] | None = None) -> int:
     mesh = None
     if args.devices > 1:
         # Clamp to visible devices; non-divisor counts pad behind
-        # boundary walls (any kernel) or via periodic-wrap padding on
-        # the portable kernel (wall-less masks), demoting to a divisor
-        # only when even that can't fit — the whole policy lives (and
-        # is unit-tested) in halo.resolve_mesh.
+        # boundary walls (any kernel) or via periodic-wrap padding
+        # (wall-less masks — the production pallas kernel when its
+        # geometry fits, the portable kernel otherwise), demoting to a
+        # divisor only when even that can't fit — the whole policy
+        # lives (and is unit-tested) in halo.resolve_mesh.
         from lbm_tpu.parallel.halo import resolve_mesh
 
         mesh, notes = resolve_mesh(params, obstacles, args.devices,

@@ -54,7 +54,7 @@ def exchange_halos(interior: jnp.ndarray, n_shards: int,
     interior row of the shard below, north = the bottom interior row of
     the shard above. Single-shard meshes reduce to periodic wrap.
 
-    ``wrap_pad`` (the 'wrap' padding mode, :func:`plan_padding_mode`):
+    ``wrap_pad`` (the wrap padding modes, :func:`plan_padding_mode`):
     wall-less non-divisor runs pad the TOP of the lattice with
     ``wrap_pad`` obstacle rows, so the first REAL row is shard 0's local
     row ``wrap_pad`` — and it, not the pad row, is what the last shard
@@ -82,8 +82,8 @@ class _ReferenceShardImpl:
     """Per-shard jnp step: accelerate (owner shard only), exchange raw
     halo rows, run the halo-aware portable kernel. Carry = local cells.
 
-    ``wrap_pad`` > 0 enables the 'wrap' padding discipline for wall-less
-    non-divisor scenes (:func:`plan_padding_mode`): the pad sits at the
+    ``wrap_pad`` > 0 enables the wrap padding discipline ('wrap_ref'
+    mode, :func:`plan_padding_mode`): the pad sits at the
     TOP of the lattice inside shard 0, the wrap halo the last shard
     receives is redirected to the first REAL row (exchange_halos), and
     the one pad row a real row pulls from (local row wrap_pad-1) is
@@ -225,6 +225,89 @@ class _PallasShardImpl:
 
     def final(self, carry):
         return carry[0]
+
+
+class _WrapPallasShardImpl(_PallasShardImpl):
+    """Production-kernel wrap discipline for wall-less non-divisor (or
+    TPU-alignment) padding — the fused Mosaic kernel itself is UNCHANGED
+    (VERDICT r4 #2; the reference's uneven ``allocate_rows`` served any
+    (ny, size) pair at full speed, d2q9-bgk.c:483-492). The wrap is
+    expressed entirely through data the kernel already consumes:
+
+    - shard 0's north-going seam entry is SYNTHESISED from lattice row
+      ``p`` (= wrap_pad, the first REAL row) instead of the firsts[0]
+      edge entry, so the last shard's top row pulls the true global
+      bottom row through the existing seam channel;
+    - the received south seam (= the true global last row) refreshes the
+      one pad row a real row pulls from: lattice row ``p-1``, plus its
+      ``lasts`` edge-entry copy when ``p`` is a block boundary (row p
+      then streams from the edge array, not the lattice). Both are
+      O(nx) jnp updates outside the kernel.
+
+    Row ``p`` is never the forced row (forced = ny_pad-2 = p + ny-2 > p
+    for ny > 2), so the synthesised entry's ACC channel is always 0.
+    Temporal fusion and pairing are off: the refresh must land between
+    every step, and pairing's dst-donor discipline would force a full
+    lattice copy around the pre-kernel row update (the donor must stay
+    live for the second aliased call). Measured cost vs the blocked
+    paired kernel: one unpaired pass per step — still ~an order of
+    magnitude above the jnp fallback this replaces (docs/PERF.md)."""
+
+    def __init__(self, params: Params, decomp: RowDecomposition,
+                 wrap_pad: int):
+        super().__init__(params, decomp, paired=False, fuse=1)
+        if not (decomp.n_shards > 1 and 1 <= wrap_pad <= decomp.local_ny - 1):
+            raise ValueError(
+                f"wrap_pad={wrap_pad} must fit inside shard 0 "
+                f"(local_ny={decomp.local_ny}, {decomp.n_shards} shards)"
+            )
+        self.wrap_pad = wrap_pad
+        self._by = self.pf._pick_block_rows(decomp.local_ny, params.nx)
+
+    def _single_call(self, cells, firsts, lasts, prepared, dst):
+        obs, obs_i8, accel_mask = prepared
+        pf, p = self.pf, self.wrap_pad
+        n = self.decomp.n_shards
+        nx = cells.shape[2]
+        is_first = lax.axis_index(AXIS) == 0
+        # (a) Shard 0 advertises its first REAL row as the lattice
+        # bottom: a seam entry in the gather_edge_rows channel layout
+        # (9 speeds, OBS_CH flags, ACC_CH = 0 — row p is never forced).
+        synth = jnp.concatenate(
+            [
+                cells[:, p, :],
+                obs[p : p + 1, :].astype(cells.dtype),
+                jnp.zeros((pf.QP - pf.Q - 1, nx), cells.dtype),
+            ],
+            axis=0,
+        )[None]
+        first_entry = jnp.where(is_first, synth, firsts[:1])
+        south_e = lax.ppermute(lasts[-1:], AXIS, _up_perm(n))
+        north_e = lax.ppermute(first_entry, AXIS, _down_perm(n))
+        # (b) Refresh the pad row the first real row pulls from with the
+        # true global last row (shard 0 only; other shards keep their
+        # row unchanged through the same jnp.where so the SPMD program
+        # stays uniform).
+        row = jnp.where(is_first, south_e[0, : pf.Q, :], cells[:, p - 1, :])
+        cells = cells.at[:, p - 1, :].set(row)
+        if p % self._by == 0:
+            # Row p is a block first row: it streams its south neighbour
+            # from the lasts[] edge entry of the block below, so that
+            # copy must carry the refreshed speeds too (channels OBS/ACC
+            # stay as the kernel wrote them: obstacle pad row, never
+            # forced).
+            b = p // self._by - 1
+            ent = jnp.where(is_first, south_e[0, : pf.Q, :],
+                            lasts[b, : pf.Q, :])
+            lasts = lasts.at[b, : pf.Q, :].set(ent)
+        return pf._pallas_step(
+            cells, lasts, firsts, obs_i8,
+            omega_f=float(self.params.omega),
+            interpret=pf._interpret(),
+            accel=self._accel_spec(),
+            seams=(south_e, north_e),
+            accel_mask=accel_mask, dst=dst,
+        )
 
 
 class _TransposedPallasShardImpl(_PallasShardImpl):
@@ -397,9 +480,19 @@ def plan_row_padding(params: Params, obstacles, mesh: Mesh,
     return ny_pad - ny
 
 
+def _wrap_fits(ny: int, n: int, unit: int):
+    """Smallest wrap pad to a multiple of ``unit`` rows that fits inside
+    shard 0 (pad <= local_ny-1 — the refresh discipline keeps the whole
+    pad region and the first real row on shard 0), or None."""
+    pad = -(-ny // unit) * unit - ny
+    local = (ny + pad) // n
+    return pad if 1 <= pad <= local - 1 else None
+
+
 def plan_padding_mode(params: Params, obstacles, mesh: Mesh,
                       kernel: str, backend: str | None = None):
-    """The padding policy's single owner: ``('none'|'wall'|'wrap', pad)``.
+    """The padding policy's single owner:
+    ``('none'|'wall'|'wrap'|'wrap_ref', pad)``.
 
     - ``'none'``: the existing plans fit (row divisor, or the wide-grid
       transposed-x plan) — no padding.
@@ -407,39 +500,65 @@ def plan_padding_mode(params: Params, obstacles, mesh: Mesh,
       y boundaries — :func:`plan_row_padding`'s wall-shielded
       obstacle-row padding, causally inert, any kernel (the production
       pallas paths run it unchanged).
-    - ``'wrap'``: non-divisor ny WITHOUT both boundary walls, the case
-      the reference's uneven ``allocate_rows`` balanced by giving the
-      first ny%size ranks an extra row (d2q9-bgk.c:483-492). Equal
-      shards pad the top with obstacle rows like 'wall', and the
-      portable shard step closes the periodic wrap over the REAL
-      lattice (exchange_halos / _ReferenceShardImpl) — bit-exact, but
-      reference-kernel-only (the caller must run kernel='reference';
-      run_simulation demotes 'auto' and this raises on explicit
-      'pallas'). Needs pad <= local_ny-1 so the whole pad region sits
-      inside shard 0 (fails only for ny barely above the device count —
-      resolve_mesh then takes the divisor fallback).
+    - ``'wrap'``: wall-less padding served by the PRODUCTION pallas
+      kernel (:class:`_WrapPallasShardImpl` — the fused Mosaic kernel
+      unchanged, the wrap expressed through the seam channel plus an
+      O(nx) per-step pad-row refresh; VERDICT r4 #2). The pad is sized
+      for the pallas geometry: 8-aligned per-shard rows on real TPU
+      (Mosaic DMA tiling), the bare divisor remainder elsewhere. Also
+      selected on real TPU for wall-less DIVISOR counts whose per-shard
+      rows are misaligned (ny=1000 over 8 -> pad 24 to 1024), which
+      previously demoted to the reference kernel.
+    - ``'wrap_ref'``: the same wrap discipline on the portable
+      reference kernel (_ReferenceShardImpl) — taken when the resolved
+      kernel is 'reference', or when the pallas-geometry pad does not
+      fit inside shard 0 but the bare remainder does ('auto' demotes;
+      an explicit 'pallas' request raises a clear error instead).
+
+    Both wrap modes are bit-exact: equal shards pad below row 0 with
+    obstacle rows, and the shard step closes the periodic wrap over the
+    REAL lattice (the reference's uneven ``allocate_rows`` balancing,
+    d2q9-bgk.c:483-492). Needs pad <= local_ny-1 so the whole pad
+    region sits inside shard 0 (fails only for ny barely above the
+    device count — resolve_mesh then takes the divisor fallback).
     """
+    n = mesh.shape[AXIS]
+    k = _resolve_kernel(kernel, params, backend=backend)
+    on_tpu = (backend or jax.default_backend()) == "tpu"
+    pallas_unit = n * (8 if on_tpu else 1)
     try:
         pad = plan_row_padding(params, obstacles, mesh, kernel,
                                backend=backend)
-        return ("wall" if pad else "none"), pad
+        if pad:
+            return "wall", pad
+        # Divisor wall-less grids whose per-shard rows are misaligned
+        # would demote to the reference kernel on real TPU
+        # (resolve_shard_kernel's Mosaic-geometry gate); alignment wrap
+        # padding keeps the production kernel when it fits.
+        if (k == "pallas" and on_tpu and params.ny % pallas_unit
+                and not _wide_transposed_plan(params, n, backend=backend)):
+            obs = np.asarray(obstacles, dtype=bool)
+            if not (obs[0, :].all() and obs[-1, :].all()):
+                pad = _wrap_fits(params.ny, n, pallas_unit)
+                if pad is not None:
+                    return "wrap", pad
+        return "none", 0
     except ValueError:
-        n = mesh.shape[AXIS]
-        # Wrap padding never needs the pallas 8-alignment unit: it runs
-        # the reference kernel, so the pad is the bare divisor remainder.
-        pad = -(-params.ny // n) * n - params.ny
-        local = (params.ny + pad) // n
-        if kernel == "pallas":
-            raise ValueError(
-                f"ny={params.ny} does not divide over {n} devices and "
-                "the mask has no boundary wall rows: this runs via "
-                "periodic wrap padding on the portable kernel — use "
-                "kernel='reference' (or 'auto'), or a divisor device "
-                "count for the pallas kernel"
-            ) from None
-        if pad > local - 1:
+        if k == "pallas":
+            pad = _wrap_fits(params.ny, n, pallas_unit)
+            if pad is not None:
+                return "wrap", pad
+        pad = _wrap_fits(params.ny, n, n)
+        if pad is None:
             raise  # pad would spill past shard 0: divisor fallback
-        return "wrap", pad
+        if k == "pallas" and kernel != "auto":
+            raise ValueError(
+                f"ny={params.ny} over {n} devices leaves no room for the "
+                "pallas wrap pad inside shard 0; use kernel='auto' (or "
+                "'reference') for the portable wrap, or a divisor device "
+                "count"
+            ) from None
+        return "wrap_ref", pad
 
 
 def resolve_mesh(params: Params, obstacles, n_devices: int, kernel: str,
@@ -452,13 +571,13 @@ def resolve_mesh(params: Params, obstacles, n_devices: int, kernel: str,
     1. clamp to the visible device count;
     2. non-divisor counts keep all devices: wall-bounded masks via
        wall-shielded obstacle-row padding, wall-less masks via periodic
-       wrap padding on the portable kernel (:func:`plan_padding_mode` —
-       together the equal-shard answer to the reference's uneven
-       ``allocate_rows``, d2q9-bgk.c:483-492, for any (ny, size) pair
-       with ceil(ny/size)-1 pad headroom);
+       wrap padding — on the PRODUCTION pallas kernel when its geometry
+       fits ('wrap'), the portable kernel otherwise ('wrap_ref')
+       (:func:`plan_padding_mode` — together the equal-shard answer to
+       the reference's uneven ``allocate_rows``, d2q9-bgk.c:483-492,
+       for any (ny, size) pair with ceil(ny/size)-1 pad headroom);
     3. demote to the largest divisor of ny only when even wrap padding
-       cannot fit (ny barely above the device count) or the caller
-       insists on the pallas kernel for a wall-less non-divisor scene.
+       cannot fit (ny barely above the device count).
 
     Returns ``(mesh_or_None, notes)``; ``notes`` are human-readable
     demotion messages for the caller to surface (the CLI prints them to
@@ -484,18 +603,18 @@ def resolve_mesh(params: Params, obstacles, n_devices: int, kernel: str,
     try:
         mode, _ = plan_padding_mode(params, obstacles, mesh, kernel,
                                     backend=backend)
-        if mode == "wrap" and _resolve_kernel(
+        if mode == "wrap_ref" and _resolve_kernel(
                 kernel, params, backend=backend) != "reference":
             notes.append(
                 "note: wall-less non-divisor run uses the portable "
-                "reference kernel (periodic wrap padding)"
+                "reference kernel (periodic wrap padding: the pallas "
+                "wrap pad does not fit inside shard 0)"
             )
     except ValueError:
         fallback = largest_divisor_leq(params.ny, usable)
         notes.append(
             f"note: using {fallback} devices (ny={params.ny} over "
-            f"{usable} leaves no headroom for wrap padding, or the "
-            "pallas kernel was requested without boundary walls; "
+            f"{usable} leaves no headroom for wrap padding; "
             "divisor fallback)"
         )
         # Pass the already-resolved devices: a bare make_mesh(fallback)
@@ -565,9 +684,12 @@ def _shard_impl(params: Params, decomp: RowDecomposition, kernel: str,
     kernel depth that fits the PER-SHARD state size (per-step HBM
     traffic divided by depth; small resident shards prefer depth 2 —
     see pallas_fused._depth_preference), then aliased pairing on top.
-    ``wrap_pad`` (wall-less non-divisor runs) is reference-kernel-only —
-    plan_padding_mode guarantees the pallas branch is unreachable with
-    it."""
+    ``wrap_pad`` (wall-less non-divisor / alignment runs) routes to the
+    wrap impls: :class:`_WrapPallasShardImpl` (production kernel, fusion
+    and pairing off — the per-step pad-row refresh must land between
+    steps) or :class:`_ReferenceShardImpl`."""
+    if kernel == "pallas" and wrap_pad:
+        return _WrapPallasShardImpl(params, decomp, wrap_pad)
     if kernel == "pallas":
         from lbm_tpu.ops.pallas_fused import _depth_preference
 
@@ -592,7 +714,7 @@ def _shard_segments(params: Params, decomp: RowDecomposition, kernel: str,
     otherwise a main paired-fused segment plus a tail shorter than one
     paired pass (fused but unpaired when a depth divides it), so
     arbitrary iteration counts keep the fused kernel's speed."""
-    if kernel == "pallas" and iters > 0:
+    if kernel == "pallas" and iters > 0 and not wrap_pad:
         from lbm_tpu.ops.pallas_fused import _depth_preference, plan_split
         from lbm_tpu.parallel import resident_ring as rr
 
@@ -635,15 +757,22 @@ def _shard_segments(params: Params, decomp: RowDecomposition, kernel: str,
                          transposed=transposed, wrap_pad=wrap_pad), iters)]
 
 
-def _check_wrap_kernel(wrap_pad: int, kernel: str) -> None:
-    """Wrap padding's kernel contract, enforced at build time: the wrap
-    discipline lives in _ReferenceShardImpl only (plan_padding_mode +
-    run_simulation demote to it together; a pallas build with wrap_pad
-    would silently read pad rows as physics)."""
-    if wrap_pad and kernel != "reference":
+def _check_wrap_kernel(wrap_pad: int, kernel: str,
+                       transposed: bool = False) -> None:
+    """Wrap padding's build-time contract: the wrap discipline lives in
+    the ROW-plan impls (_ReferenceShardImpl and _WrapPallasShardImpl);
+    a transposed build with wrap_pad would silently read pad rows as
+    physics (plan_padding_mode never produces the combination — the
+    wide plan shards x and needs no row padding)."""
+    if wrap_pad and kernel not in ("reference", "pallas"):
         raise ValueError(
-            "wrap_pad (wall-less non-divisor padding) requires "
-            f"kernel='reference', got {kernel!r}"
+            "wrap_pad (wall-less non-divisor padding) requires the "
+            f"'reference' or 'pallas' kernel, got {kernel!r}"
+        )
+    if wrap_pad and transposed:
+        raise ValueError(
+            "wrap_pad requires the row plan; the transposed x-sharded "
+            "plan cannot carry row padding"
         )
 
 
@@ -669,8 +798,8 @@ def make_sharded_simulate(
     ensure_dtype_computable(params)
     iters = params.max_iters if n_iters is None else n_iters
     kernel = resolve_shard_kernel(params, mesh, kernel)
-    _check_wrap_kernel(wrap_pad, kernel)
     transposed, decomp, cells_spec, obs_spec = plan_sharding(params, mesh, kernel)
+    _check_wrap_kernel(wrap_pad, kernel, transposed)
     segs = _shard_segments(params, decomp, kernel, iters, transposed,
                            wrap_pad=wrap_pad)
 
@@ -715,8 +844,8 @@ def make_sharded_chunk(
 
     ensure_dtype_computable(params)
     kernel = resolve_shard_kernel(params, mesh, kernel)
-    _check_wrap_kernel(wrap_pad, kernel)
     transposed, decomp, cells_spec, obs_spec = plan_sharding(params, mesh, kernel)
+    _check_wrap_kernel(wrap_pad, kernel, transposed)
     segs = _shard_segments(params, decomp, kernel, chunk_iters, transposed,
                            wrap_pad=wrap_pad)
 

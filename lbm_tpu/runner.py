@@ -418,8 +418,9 @@ def run_simulation(
         # demoting the mesh (halo.plan_padding_mode; the reference's
         # allocate_rows balancing, d2q9-bgk.c:483-492) — wall-shielded
         # behind boundary walls (any kernel), periodic-wrap otherwise
-        # (portable kernel, exact: the shard step re-routes the wrap
-        # around the pad). The pad is sliced back off the final state
+        # (exact: the shard step re-routes the wrap around the pad; the
+        # production pallas kernel in 'wrap' mode, the portable kernel
+        # in 'wrap_ref'). The pad is sliced back off the final state
         # below.
         from lbm_tpu.parallel import halo as _halo
 
@@ -429,7 +430,10 @@ def run_simulation(
         if pad_rows:
             params, obstacles = _halo.pad_scene(params, obstacles, pad_rows)
         if pad_mode == "wrap":
-            # The wrap discipline lives in the portable shard impl only.
+            wrap_pad = pad_rows
+        elif pad_mode == "wrap_ref":
+            # The pallas wrap pad does not fit (or the caller asked for
+            # the reference kernel): portable wrap impl.
             kernel = "reference"
             wrap_pad = pad_rows
     inv_fluid = num_non_obstacles_r(obstacles, dtype=params.dtype)

@@ -392,7 +392,7 @@ class TestNonDivisorPadding:
         with pytest.raises(ValueError, match="wall rows"):
             plan_row_padding(p, no_walls, make_mesh(3), "reference")
         assert plan_padding_mode(
-            p, no_walls, make_mesh(3), "reference") == ("wrap", 2)
+            p, no_walls, make_mesh(3), "reference") == ("wrap_ref", 2)
 
     def test_alignment_only_padding_optional_without_walls(self,
                                                            monkeypatch):
@@ -483,19 +483,66 @@ class TestResolveMesh:
         assert mesh is not None and mesh.shape["y"] == 3
         assert any("divisor fallback" in n for n in notes)
 
-    def test_wall_less_explicit_pallas_demotes(self):
-        """Wrap padding is reference-kernel-only; an explicit pallas
-        request on a wall-less non-divisor scene takes the divisor
-        fallback (and plan_padding_mode raises the clear error)."""
+    def test_wall_less_explicit_pallas_keeps_all_devices(self):
+        """Wall-less non-divisor scenes run the PRODUCTION pallas kernel
+        via the pallas wrap discipline (halo._WrapPallasShardImpl;
+        VERDICT r4 #2 — the reference's allocate_rows served any
+        (ny, size) pair at full speed, d2q9-bgk.c:483-492): all devices
+        kept, no demotion note."""
         from lbm_tpu.parallel.halo import plan_padding_mode, resolve_mesh
 
         p = small_params(ny=46, nx=64)
         no_walls = np.zeros((p.ny, p.nx), dtype=bool)
-        with pytest.raises(ValueError, match="reference"):
-            plan_padding_mode(p, no_walls, make_mesh(3), "pallas")
+        assert plan_padding_mode(
+            p, no_walls, make_mesh(3), "pallas") == ("wrap", 2)
         mesh, notes = resolve_mesh(p, no_walls, 3, "pallas")
-        assert mesh is not None and mesh.shape["y"] == 2
+        assert mesh is not None and mesh.shape["y"] == 3
+        assert notes == []
+
+    def test_wall_less_explicit_pallas_no_headroom_demotes(self):
+        """When even the bare wrap pad cannot fit inside shard 0, an
+        explicit pallas request raises and resolve_mesh takes the
+        divisor fallback. (nx < 2*ny: a WIDE wall-less tiny-ny scene
+        would instead take the transposed x-plan with all devices and
+        no padding at all — ny=9, nx=64 over 8 does exactly that.)"""
+        from lbm_tpu.parallel.halo import plan_padding_mode, resolve_mesh
+
+        p = small_params(ny=9, nx=16)
+        no_walls = np.zeros((p.ny, p.nx), dtype=bool)
+        with pytest.raises(ValueError):
+            plan_padding_mode(p, no_walls, make_mesh(8), "pallas")
+        mesh, notes = resolve_mesh(p, no_walls, 8, "pallas")
+        assert mesh is not None and mesh.shape["y"] == 3
         assert any("divisor fallback" in n for n in notes)
+
+    def test_wall_less_tpu_planner_selects_production_wrap(self):
+        """On real TPU the planner serves wall-less scenes with the
+        production kernel: 'auto' resolves to pallas and the wrap pad is
+        sized to keep per-shard rows 8-aligned (Mosaic DMA tiling) —
+        non-divisor ny pads to the next multiple of 8n, and even a
+        DIVISOR ny whose shards are misaligned (ny=1000 over 8) takes an
+        alignment wrap pad instead of demoting to the ~15x-slower jnp
+        kernel. Planner-level contract (backend='tpu' override; the
+        discipline itself is trajectory-tested in interpret mode)."""
+        from lbm_tpu.parallel.halo import plan_padding_mode
+
+        no_walls = np.zeros((1020, 64), dtype=bool)
+        p = small_params(ny=1020, nx=64)
+        assert plan_padding_mode(
+            p, no_walls, make_mesh(8), "auto", backend="tpu"
+        ) == ("wrap", 4)  # 1020 -> 1024, local 128 (8-aligned)
+        p2 = small_params(ny=1000, nx=64)
+        assert plan_padding_mode(
+            p2, np.zeros((1000, 64), dtype=bool), make_mesh(8), "auto",
+            backend="tpu",
+        ) == ("wrap", 24)  # divisor but local 125 misaligned -> 1024
+        # No headroom for the aligned pad (96 -> 128 needs 32 > local-1):
+        # auto falls back to 'none' (divisor) and demotes as before.
+        p3 = small_params(ny=96, nx=64)
+        assert plan_padding_mode(
+            p3, np.zeros((96, 64), dtype=bool), make_mesh(8), "auto",
+            backend="tpu",
+        ) == ("none", 0)
 
     def test_clamps_to_visible_devices(self):
         from lbm_tpu.parallel.halo import resolve_mesh
@@ -552,6 +599,64 @@ class TestResolveMesh:
         capsys.readouterr()  # the reference block is not under test here
         np.testing.assert_array_equal(base.cells, dbg.cells)
         np.testing.assert_allclose(base.av_vels, dbg.av_vels, rtol=2e-5)
+
+    def test_pallas_wrap_trajectory_bit_exact(self):
+        """The PRODUCTION-kernel wrap (halo._WrapPallasShardImpl,
+        interpret mode here) carries the same bit-exact contract as the
+        portable wrap: the Mosaic kernel is unchanged and the wrap rides
+        the seam channel + an O(nx) pad-row refresh, so the sharded
+        trajectory equals the unsharded pallas trajectory cell-for-cell.
+        Scattered (non-wall) obstacles exercise bounce-back across the
+        wrap seam; ny=36 over 8 is the pad == local_ny-1 boundary."""
+        rng = np.random.default_rng(5)
+        for ny, nx, n, iters in [(46, 64, 3, 12), (36, 32, 8, 10)]:
+            p = small_params(ny=ny, nx=nx, max_iters=iters)
+            no_walls = rng.random((p.ny, p.nx)) < 0.08
+            no_walls[p.ny - 2, 7] = False  # keep fluid on the forced row
+            base = run_simulation(p, no_walls, kernel="pallas")
+            got = run_simulation(p, no_walls, kernel="pallas",
+                                 mesh=make_mesh(n))
+            assert got.cells.shape == base.cells.shape
+            np.testing.assert_array_equal(base.cells, got.cells)
+            np.testing.assert_allclose(base.av_vels, got.av_vels,
+                                       rtol=2e-5)
+            ref = run_simulation(p, no_walls, kernel="reference")
+            np.testing.assert_allclose(ref.cells, got.cells, rtol=2e-5,
+                                       atol=5e-8)
+
+    def test_pallas_wrap_block_edge_refresh(self, monkeypatch):
+        """When the pad boundary lands on a block edge (p % by == 0),
+        the first real row streams its south neighbour from the lasts[]
+        edge-entry copy, not the lattice — the wrap refresh must land in
+        BOTH. ny=92 over 8 pads to 96 (local 12); a shrunken slot budget
+        forces by=4 so p=4 is a block boundary."""
+        from lbm_tpu.ops import pallas_fused as pf
+
+        monkeypatch.setattr(pf, "_SLOT_BYTES", 9 * 32 * 4 * 4)
+        p = small_params(ny=92, nx=32, max_iters=11)
+        rng = np.random.default_rng(7)
+        no_walls = rng.random((p.ny, p.nx)) < 0.08
+        no_walls[p.ny - 2, 5] = False
+        assert pf._pick_block_rows((p.ny + 4) // 8, p.nx) == 4
+        base = run_simulation(p, no_walls, kernel="pallas")
+        got = run_simulation(p, no_walls, kernel="pallas",
+                             mesh=make_mesh(8))
+        np.testing.assert_array_equal(base.cells, got.cells)
+        np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=2e-5)
+
+    def test_pallas_wrap_chunked(self):
+        """The pallas wrap discipline reaches the chunked runner
+        (make_sharded_chunk -> _shard_segments with wrap_pad) — same
+        bit-exact contract, and chunk boundaries never disturb the
+        per-step refresh."""
+        p = small_params(ny=46, nx=32, max_iters=9)
+        no_walls = np.zeros((p.ny, p.nx), dtype=bool)
+        base = run_simulation(p, no_walls, kernel="pallas")
+        chunked = run_simulation(p, no_walls, kernel="pallas",
+                                 mesh=make_mesh(3), chunk_iters=4)
+        np.testing.assert_array_equal(base.cells, chunked.cells)
+        np.testing.assert_allclose(base.av_vels, chunked.av_vels,
+                                   rtol=2e-5)
 
     def test_backend_override_reaches_device_lookup(self, monkeypatch):
         """The backend= escape hatch must cover the jax.devices() call
