@@ -85,6 +85,7 @@ def _kernel_resident(
     accel: AccelSpec,
     gsteps: int,
     inplace: bool,
+    shift: bool = False,
 ):
     if inplace:
         (sem,) = rest
@@ -138,6 +139,43 @@ def _kernel_resident(
             == np.int32(accel.index)
         ).astype(jnp.float32)
 
+    def _streamed_shifted(src, b):
+        """LBM_RESIDENT_SHIFT A/B variant (row layout only): because the
+        full previous state is resident, the cy=+-1 source windows are
+        just by-row loads at sublane offset r0-+1 — replacing the
+        roll + edge-select pair per shifted speed with one offset load
+        (the blocked kernel can't do this: its windows live in per-block
+        DMA slots). Boundary blocks stitch the periodic wrap with one
+        concatenate. Bit-identical values by construction; whether
+        Mosaic's unaligned-load lowering beats roll+select is exactly
+        the measured question (docs/PERF.md round-5 micro-A/B)."""
+        r0 = b * by
+        streamed = []
+        for k in range(Q):
+            cy = int(D2Q9.CY[k])
+            cx = int(D2Q9.CX[k])
+            if cy == 0:
+                win = src[k, r0 : r0 + by, :]
+            elif cy == 1:
+                if b == 0:
+                    win = jnp.concatenate(
+                        [src[k, h - 1 : h, :], src[k, 0 : by - 1, :]],
+                        axis=0,
+                    )
+                else:
+                    win = src[k, r0 - 1 : r0 + by - 1, :]
+            else:
+                if b == n_blocks - 1:
+                    win = jnp.concatenate(
+                        [src[k, r0 + 1 : h, :], src[k, 0:1, :]], axis=0
+                    )
+                else:
+                    win = src[k, r0 + 1 : r0 + by + 1, :]
+            if cx != 0:
+                win = pltpu.roll(win, cx % nx, 1)
+            streamed.append(win)
+        return streamed
+
     def one_step(src, dst, idx):
         """One whole timestep src -> dst: accelerate, then the same
         register-resident pull-stream + BGK block pass as the blocked
@@ -151,23 +189,26 @@ def _kernel_resident(
             rp = (r0 - 1) % h
             rn = (r0 + by) % h
             obstacles = obs_ref[r0 : r0 + by, :] != 0
-            body = [src[k, r0 : r0 + by, :] for k in range(Q)]
-            prev_a = [src[k, rp : rp + 1, :] for k in range(Q)]
-            next_a = [src[k, rn : rn + 1, :] for k in range(Q)]
-            if accel.axis == 1:
-                fluid_b = one - obstacles.astype(jnp.float32)
-                body = lane_accel(body, fluid_b, lane_blk)
-                fluid_p = one - (
-                    obs_ref[rp : rp + 1, :] != 0
-                ).astype(jnp.float32)
-                prev_a = lane_accel(prev_a, fluid_p, lane1)
-                fluid_n = one - (
-                    obs_ref[rn : rn + 1, :] != 0
-                ).astype(jnp.float32)
-                next_a = lane_accel(next_a, fluid_n, lane1)
-            streamed = _pull_interior(
-                body, prev_a, next_a, row_ids, by, nx
-            )
+            if shift:
+                streamed = _streamed_shifted(src, b)
+            else:
+                body = [src[k, r0 : r0 + by, :] for k in range(Q)]
+                prev_a = [src[k, rp : rp + 1, :] for k in range(Q)]
+                next_a = [src[k, rn : rn + 1, :] for k in range(Q)]
+                if accel.axis == 1:
+                    fluid_b = one - obstacles.astype(jnp.float32)
+                    body = lane_accel(body, fluid_b, lane_blk)
+                    fluid_p = one - (
+                        obs_ref[rp : rp + 1, :] != 0
+                    ).astype(jnp.float32)
+                    prev_a = lane_accel(prev_a, fluid_p, lane1)
+                    fluid_n = one - (
+                        obs_ref[rn : rn + 1, :] != 0
+                    ).astype(jnp.float32)
+                    next_a = lane_accel(next_a, fluid_n, lane1)
+                streamed = _pull_interior(
+                    body, prev_a, next_a, row_ids, by, nx
+                )
             new, t = _bgk_update(streamed, obstacles, omega)
             dst[:, r0 : r0 + by, :] = new
             tot = t if tot is None else tot + t
@@ -288,9 +329,18 @@ def _pallas_resident(cells, obs_i8, *, omega_f, interpret, accel, gsteps):
     state_bytes = q * h * nx * 4
     inplace = _inplace_mode(state_bytes, h * nx)
     assert gsteps >= 1 and (inplace or gsteps % 2 == 0), gsteps
+    # LBM_RESIDENT_SHIFT=1: A/B the offset-load streaming variant
+    # (row-layout double-buffer mode only; in-place register-carries old
+    # rows and the transposed layout applies per-copy lane forcing, both
+    # incompatible with raw shifted loads). docs/PERF.md round-5 A/B.
+    shift = (
+        os.environ.get("LBM_RESIDENT_SHIFT", "0") not in ("0", "", "false")
+        and not inplace
+        and accel.axis == 0
+    )
     kernel = functools.partial(
         _kernel_resident, by=by, h=h, omega=np.float32(omega_f),
-        accel=accel, gsteps=gsteps, inplace=inplace,
+        accel=accel, gsteps=gsteps, inplace=inplace, shift=shift,
     )
     n_bufs = 1 if inplace else 2
     scratch = [pltpu.VMEM((q, h, nx), jnp.float32)] * n_bufs

@@ -47,6 +47,20 @@ def golden_av_vels_128():
     return np.loadtxt(CHECK / "128x128.av_vels.dat", usecols=[1])
 
 
+_SESSION_T0 = None
+
+
+def pytest_sessionstart(session):
+    # Wall-clock origin for the full-suite record below; a module global
+    # rather than TerminalReporter._sessionstarttime, which does not
+    # exist in this pytest version (the attribute crash cost a 25-min
+    # green run its record).
+    global _SESSION_T0
+    import time as _time
+
+    _SESSION_T0 = _time.time()
+
+
 def pytest_terminal_summary(terminalreporter, exitstatus, config):
     """Record each passing FULL-profile run (`make test-full`, i.e.
     `pytest tests/ -m ""`) in docs/artifacts/test_full_record.json —
@@ -76,7 +90,9 @@ def pytest_terminal_summary(terminalreporter, exitstatus, config):
         ),
         "profile": "full",
         **counts,
-        "duration_s": round(_time.time() - terminalreporter._sessionstarttime, 1),
+        "duration_s": (
+            round(_time.time() - _SESSION_T0, 1) if _SESSION_T0 else None
+        ),
     }
     out = pathlib.Path(__file__).parent.parent / "docs" / "artifacts" \
         / "test_full_record.json"

@@ -91,6 +91,36 @@ def test_resident_forced_row_on_block_edge(monkeypatch):
     assert_matches(got, tots, want, want_tots)
 
 
+def test_resident_shift_streaming_bit_identical(monkeypatch):
+    """The LBM_RESIDENT_SHIFT A/B variant (offset-load streaming —
+    docs/PERF.md round-5 micro-A/B) must be BIT-identical to the
+    roll+select streaming it replaces, in both single-block (pure
+    wrap-concat windows) and multi-block (interior offset loads +
+    boundary stitches) geometries."""
+    from lbm_tpu.ops.pallas_fused import AccelSpec
+    from lbm_tpu.ops.pallas_resident import _pallas_resident
+
+    p = small_params(ny=48, nx=64, max_iters=4)
+    obstacles = jnp.asarray(generate_obstacles(p.nx, p.ny)).astype(jnp.int8)
+    accel = AccelSpec.rows(p, p.ny)
+
+    def run(flag):
+        monkeypatch.setenv("LBM_RESIDENT_SHIFT", flag)
+        new, tots = _pallas_resident(
+            initial_state(p), obstacles, omega_f=float(p.omega),
+            interpret=True, accel=accel, gsteps=4,
+        )
+        return np.asarray(new), np.asarray(tots)
+
+    for slot_bytes in (None, 8 * 9 * p.nx * 4):  # single-block, by=8
+        if slot_bytes is not None:
+            monkeypatch.setattr(pf, "_SLOT_BYTES", slot_bytes)
+        base = run("0")
+        shifted = run("1")
+        np.testing.assert_array_equal(base[0], shifted[0])
+        np.testing.assert_array_equal(base[1], shifted[1])
+
+
 def test_resident_transposed_matches_reference():
     from lbm_tpu.ops.pallas_resident import TransposedResidentStep
 
