@@ -388,6 +388,32 @@ def test_resume_across_device_counts_reconciles_padding(tmp_path):
     np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=1e-4)
 
 
+def test_pallas_wrap_checkpoint_resume(tmp_path):
+    """Checkpoint/resume composed with the PRODUCTION-kernel wrap
+    (wall-less non-divisor, halo._WrapPallasShardImpl): the checkpoint
+    stores the padded lattice, the resume substitutes fresh equilibrium
+    pad rows, and the wrap discipline rewrites the one consumed pad row
+    from the wrap halo before any real row reads it — so the resumed
+    trajectory must equal the uninterrupted unsharded pallas run
+    exactly."""
+    from lbm_tpu.parallel.decomp import make_mesh
+
+    p = small_params(ny=46, nx=32, max_iters=18)
+    rng = np.random.default_rng(9)
+    no_walls = rng.random((p.ny, p.nx)) < 0.08
+    no_walls[p.ny - 2, 3] = False
+    base = run_simulation(p, no_walls, kernel="pallas")
+
+    f = tmp_path / "ckwrap.npz"
+    run_simulation(p, no_walls, kernel="pallas", mesh=make_mesh(3),
+                   n_iters=9, checkpoint_every=9, checkpoint_file=f)
+    assert load_checkpoint(f)[1].shape == (9, 48, 32)  # padded writer
+    got = run_simulation(p, no_walls, kernel="pallas", mesh=make_mesh(3),
+                         resume_from=f)
+    np.testing.assert_array_equal(base.cells, got.cells)
+    np.testing.assert_allclose(base.av_vels, got.av_vels, rtol=2e-5)
+
+
 def test_corrupt_checkpoint_is_a_clean_error(tmp_path):
     """Corrupt/truncated/not-an-npz checkpoint files surface as the
     CLI's one-line die() error, not an unhandled zipfile/KeyError
