@@ -534,8 +534,13 @@ def plan_padding_mode(params: Params, obstacles, mesh: Mesh,
         # Divisor wall-less grids whose per-shard rows are misaligned
         # would demote to the reference kernel on real TPU
         # (resolve_shard_kernel's Mosaic-geometry gate); alignment wrap
-        # padding keeps the production kernel when it fits.
-        if (k == "pallas" and on_tpu and params.ny % pallas_unit
+        # padding keeps the production kernel when it fits. n > 1: the
+        # wrap discipline is a SHARDED construct (the seam redirection
+        # and pad-row refresh live in the shard impls) — a 1-device
+        # mesh must keep the 'none' plan and demote as before (review
+        # finding: the bare condition returned 'wrap' for n=1, and
+        # _WrapPallasShardImpl correctly refuses single-shard builds).
+        if (k == "pallas" and on_tpu and n > 1 and params.ny % pallas_unit
                 and not _wide_transposed_plan(params, n, backend=backend)):
             obs = np.asarray(obstacles, dtype=bool)
             if not (obs[0, :].all() and obs[-1, :].all()):

@@ -97,7 +97,16 @@ def pytest_terminal_summary(terminalreporter, exitstatus, config):
     out = pathlib.Path(__file__).parent.parent / "docs" / "artifacts" \
         / "test_full_record.json"
     try:
-        history = json.loads(out.read_text()) if out.exists() else []
+        try:
+            history = json.loads(out.read_text()) if out.exists() else []
+        except ValueError:
+            # Corrupt existing artifact (this hook rewrites the file —
+            # a killed run can truncate it): start fresh rather than
+            # turning a green 23-minute full run into an INTERNALERROR
+            # (review finding; JSONDecodeError is a ValueError).
+            history = []
+        if not isinstance(history, list):
+            history = []
         history = (history + [record])[-10:]
         out.parent.mkdir(parents=True, exist_ok=True)
         out.write_text(json.dumps(history, indent=2) + "\n")

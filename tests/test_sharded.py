@@ -543,6 +543,15 @@ class TestResolveMesh:
             p3, np.zeros((96, 64), dtype=bool), make_mesh(8), "auto",
             backend="tpu",
         ) == ("none", 0)
+        # A 1-device mesh never takes the wrap plan: the discipline is a
+        # sharded construct, and the single-chip path demotes misaligned
+        # wall-less grids as before (review finding: the alignment
+        # branch returned 'wrap' for n=1 and the impl then refused the
+        # single-shard build).
+        assert plan_padding_mode(
+            p2, np.zeros((1000, 64), dtype=bool), make_mesh(1), "auto",
+            backend="tpu",
+        ) == ("none", 0)
 
     def test_clamps_to_visible_devices(self):
         from lbm_tpu.parallel.halo import resolve_mesh
