@@ -249,9 +249,13 @@ class _WrapPallasShardImpl(_PallasShardImpl):
     Temporal fusion and pairing are off: the refresh must land between
     every step, and pairing's dst-donor discipline would force a full
     lattice copy around the pre-kernel row update (the donor must stay
-    live for the second aliased call). Measured cost vs the blocked
-    paired kernel: one unpaired pass per step — still ~an order of
-    magnitude above the jnp fallback this replaces (docs/PERF.md)."""
+    live for the second aliased call). Expected cost from the
+    single-chip measurements of the same configurations: the unpaired
+    depth-1 blocked kernel measures ~8.8 GLUPS at 16384x1024 vs
+    0.2-1.6 for the jnp path (docs/PERF.md) — the ~order-of-magnitude
+    cliff this closes. The composed sharded wrap itself is
+    interpret/CPU-proven (bit-exact); no multi-chip hardware exists in
+    this environment to time it."""
 
     def __init__(self, params: Params, decomp: RowDecomposition,
                  wrap_pad: int):
