@@ -4,8 +4,9 @@ Runs bench.bench() in a timeout-guarded subprocess per (grid, env)
 configuration — the measurement rules (untimed first execution, host
 fence, best-of-N) live in bench.py; this script only varies the
 trace-time env knobs (LBM_OMEGA_EQ / LBM_PALLAS_DEPTH / LBM_PAIRED_EQ /
-LBM_PALLAS_SLOT_BYTES / LBM_RESIDENT / LBM_RESIDENT_STEPS /
-LBM_RESIDENT_INPLACE) and prints one JSON line per cell. The reference's
+LBM_PALLAS_SLOT_BYTES / LBM_PALLAS_VMEM_CAP / LBM_RESIDENT /
+LBM_RESIDENT_STEPS / LBM_RESIDENT_INPLACE / LBM_RESIDENT_SHIFT) and
+prints one JSON line per cell. The reference's
 analogue is its per-version benchmark tables (report_openmp/report.tex).
 
 Usage: python scripts/ab_kernel.py [config ...]
